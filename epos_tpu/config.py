@@ -1,0 +1,226 @@
+"""Configuration for EPOS-TPU.
+
+Three tiers, mirroring the reference precedence (SURVEY.md §5):
+  1. Environment variables for paths (reference: epos_lib/config.py:10-16).
+  2. CLI flags (reference: tf.app.flags across epos_lib/common.py:56-154 and
+     each script) — here a dataclass + auto-generated argparse.
+  3. Per-model `params.yml` overlay which wins over CLI
+     (reference: epos_lib/common.py:157-177).
+"""
+
+import argparse
+import dataclasses
+import os
+from typing import List, Optional
+
+import yaml
+
+# --- Tier 1: environment paths (reference: epos_lib/config.py:10-16) ---------
+TF_DATA_PATH = os.environ.get('TF_DATA_PATH', os.path.expanduser('~/epos_data'))
+TF_MODELS_PATH = os.environ.get(
+    'TF_MODELS_PATH', os.path.expanduser('~/epos_models'))
+BOP_PATH = os.environ.get('BOP_PATH', os.path.expanduser('~/bop_datasets'))
+
+# Keys whose YAML value is a comma-separated string of ints
+# (reference: epos_lib/common.py:174-175).
+_CROP_SIZE_KEYS = ('train_crop_size', 'infer_crop_size', 'eval_crop_size')
+
+
+@dataclasses.dataclass
+class Config:
+  """All knobs of the pipeline. Field names match the reference flags."""
+
+  # --- EPOS flags (reference: epos_lib/common.py:60-80) ---
+  frag_cls_agnostic: bool = False
+  frag_loc_agnostic: bool = False
+  num_frags: int = 64
+  min_visib_fract: float = 0.1
+  corr_min_obj_conf: float = 0.1        # tau_a
+  corr_min_frag_rel_conf: float = 0.5   # tau_b
+  corr_project_to_model: bool = False
+
+  # --- Model flags (reference: epos_lib/common.py:83-154) ---
+  model: Optional[str] = None
+  dataset: Optional[str] = None
+  model_variant: str = 'xception_65'
+  logits_kernel_size: int = 1
+  image_pyramid: Optional[List[float]] = None
+  add_image_level_feature: bool = True
+  image_pooling_stride: List[int] = dataclasses.field(
+      default_factory=lambda: [1, 1])
+  aspp_with_batch_norm: bool = True
+  aspp_with_separable_conv: bool = True
+  multi_grid: Optional[List[int]] = None
+  depth_multiplier: float = 1.0
+  divisible_by: Optional[int] = None
+  atrous_rates: List[int] = dataclasses.field(
+      default_factory=lambda: [12, 24, 36])
+  decoder_output_stride: List[int] = dataclasses.field(
+      default_factory=lambda: [4])
+  encoder_output_stride: int = 8
+  decoder_use_separable_conv: bool = True
+  merge_method: str = 'max'
+  prediction_with_upsampled_logits: bool = True
+  use_bounded_activation: bool = False
+  upsample_logits: bool = False
+
+  # --- Training flags (reference: scripts/train.py:29-159) ---
+  obj_cls_loss_weight: float = 1.0
+  frag_cls_loss_weight: float = 1.0
+  frag_loc_loss_weight: float = 100.0
+  gt_knn_frags: int = 1
+  freeze_regex_list: Optional[List[str]] = None
+  learning_policy: str = 'poly'
+  base_learning_rate: float = 0.0001
+  learning_rate_decay_factor: float = 0.1
+  learning_rate_decay_step: int = 2000
+  learning_power: float = 0.9
+  training_number_of_steps: int = 2000000
+  momentum: float = 0.9
+  slow_start_step: int = 0
+  slow_start_learning_rate: float = 1e-4
+  last_layer_gradient_multiplier: float = 1.0
+  last_layers_contain_logits_only: bool = False
+  upsample_logits_train: bool = False
+  train_steps: int = 2000000
+  train_batch_size: int = 1
+  train_max_height_before_crop: int = 480
+  train_crop_size: List[int] = dataclasses.field(
+      default_factory=lambda: [640, 480])
+  train_tfrecord_names: Optional[List[str]] = None
+  fine_tune_batch_norm: bool = True
+  weight_decay: float = 0.00004
+  initial_checkpoint: Optional[str] = None
+  initialize_last_layer: bool = False
+  log_steps: int = 10
+  save_interval_steps: int = 50000
+  max_checkpoints_to_keep: int = 40
+  save_summaries_steps: int = 1000
+  data_augmentations: Optional[dict] = None
+
+  # --- Inference flags (reference: scripts/infer.py:40-146) ---
+  task_type: str = 'localization'
+  infer_tfrecord_names: Optional[List[str]] = None
+  infer_max_height_before_crop: int = 480
+  infer_crop_size: List[int] = dataclasses.field(
+      default_factory=lambda: [640, 480])
+  checkpoint_name: Optional[str] = None
+  project_to_surface: bool = False
+  save_estimates: bool = True
+  save_corresp: bool = False
+  infer_name: Optional[str] = None
+  # Pose fitting (reference: scripts/infer.py:72-120).
+  fitting_method: str = 'progressive_x'
+  inlier_thresh: float = 4.0              # tau_r [px]
+  neighbour_max_dist: float = 20.0        # tau_d
+  min_hypothesis_quality: float = 0.5     # tau_q
+  required_progx_confidence: float = 0.5
+  required_ransac_confidence: float = 1.0
+  min_triangle_area: float = 0.0          # tau_t
+  use_prosac: bool = False
+  max_model_number_for_pearl: int = 5
+  spatial_coherence_weight: float = 0.1
+  scaling_from_millimeters: float = 0.1
+  max_tanimoto_similarity: float = 0.9
+  max_correspondences: Optional[int] = None
+  max_instances_to_fit: Optional[int] = None
+  max_fitting_iterations: int = 400
+  # Visualization.
+  vis: bool = False
+  vis_gt_poses: bool = True
+  vis_pred_poses: bool = True
+  vis_gt_obj_labels: bool = True
+  vis_pred_obj_labels: bool = True
+  vis_pred_obj_confs: bool = False
+  vis_gt_frag_fields: bool = False
+  vis_pred_frag_fields: bool = False
+
+  # --- Eval flags (reference: scripts/eval.py) ---
+  eval_tfrecord_names: Optional[List[str]] = None
+  eval_max_height_before_crop: int = 480
+  eval_crop_size: List[int] = dataclasses.field(
+      default_factory=lambda: [640, 480])
+
+  # --- EPOS-TPU specific (no reference equivalent) ---
+  # Fixed capacities replacing the reference's dynamic shapes (SURVEY.md §7).
+  max_gt_instances: int = 16          # Padded GT annotations per image.
+  max_corrs_per_obj: int = 2048       # Padded correspondences per object.
+  compute_dtype: str = 'bfloat16'     # MXU-friendly compute precision.
+  num_pipeline_workers: int = 1       # Host data workers (1-core host).
+  mesh_shape: Optional[List[int]] = None  # Device mesh (None = all-data-parallel).
+  gt_cache_dir: Optional[str] = None  # Pre-rendered GT field cache.
+
+  @property
+  def model_dir(self):
+    if self.model is None:
+      return None
+    return os.path.join(TF_MODELS_PATH, self.model)
+
+  def update_from_yaml(self, params_path):
+    """YAML overlay; YAML wins over CLI (epos_lib/common.py:157-177)."""
+    if not os.path.exists(params_path):
+      return self
+    with open(params_path, 'r') as f:
+      params = yaml.safe_load(f) or {}
+    for name, val in params.items():
+      if not hasattr(self, name):
+        continue
+      if name in _CROP_SIZE_KEYS and isinstance(val, str):
+        val = [int(x) for x in val.split(',')]
+      setattr(self, name, val)
+    return self
+
+  def update_from_model_params(self):
+    """Loads <model_dir>/params.yml if it exists (scripts/train.py:428)."""
+    if self.model_dir is not None:
+      self.update_from_yaml(os.path.join(self.model_dir, 'params.yml'))
+    return self
+
+  def replace(self, **kw):
+    return dataclasses.replace(self, **kw)
+
+
+def _add_field_arg(parser, f):
+  name = '--' + f.name
+  if f.type in (bool, 'bool'):
+    parser.add_argument(name, type=lambda s: s.lower() in ('1', 'true', 'yes'),
+                        default=None)
+  elif f.type in (int, 'int', Optional[int]):
+    parser.add_argument(name, type=int, default=None)
+  elif f.type in (float, 'float'):
+    parser.add_argument(name, type=float, default=None)
+  elif 'List[int]' in str(f.type):
+    parser.add_argument(name, type=lambda s: [int(x) for x in s.split(',')],
+                        default=None)
+  elif 'List[float]' in str(f.type):
+    parser.add_argument(name, type=lambda s: [float(x) for x in s.split(',')],
+                        default=None)
+  elif 'List[str]' in str(f.type):
+    parser.add_argument(name, type=lambda s: s.split(','), default=None)
+  else:
+    parser.add_argument(name, type=str, default=None)
+
+
+def build_parser(description=''):
+  """argparse parser exposing every Config field as a flag."""
+  parser = argparse.ArgumentParser(description=description)
+  for f in dataclasses.fields(Config):
+    _add_field_arg(parser, f)
+  return parser
+
+
+def config_from_args(args=None, description=''):
+  """Parses CLI args into a Config, then applies the params.yml overlay.
+
+  Matches the reference order: flags parsed first, YAML applied after and
+  winning (epos_lib/common.py:157-177).
+  """
+  parser = build_parser(description)
+  ns, _ = parser.parse_known_args(args)
+  cfg = Config()
+  for f in dataclasses.fields(Config):
+    v = getattr(ns, f.name, None)
+    if v is not None:
+      setattr(cfg, f.name, v)
+  cfg.update_from_model_params()
+  return cfg

@@ -1,0 +1,13 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+This exercises the jax.sharding multi-chip code paths without TPU hardware
+(SURVEY.md §4: CPU-mesh tests for the DP path).
+"""
+
+import os
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+xla_flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in xla_flags:
+  os.environ['XLA_FLAGS'] = (
+      xla_flags + ' --xla_force_host_platform_device_count=8').strip()
