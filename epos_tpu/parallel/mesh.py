@@ -1,0 +1,50 @@
+"""Device mesh and sharding helpers.
+
+The reference implements data parallelism with per-GPU graph clones and
+CPU-side gradient averaging (scripts/train.py:344-366). TPU-native equivalent:
+a `jax.sharding.Mesh`, batch sharded over the 'data' axis, parameters
+replicated (or sharded over 'model' for the wide f256 heads), and XLA emitting
+the all-reduce over ICI inside the single jitted step — no explicit
+communication code (SURVEY.md §2.5).
+"""
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = 'data'
+MODEL_AXIS = 'model'
+
+
+def create_mesh(mesh_shape=None, devices=None):
+  """Creates a Mesh over the available devices.
+
+  Args:
+    mesh_shape: [data, model] sizes; None -> all devices on the data axis.
+    devices: Optional explicit device list (default jax.devices()).
+  """
+  if devices is None:
+    devices = jax.devices()
+  n = len(devices)
+  if mesh_shape is None:
+    mesh_shape = [n, 1]
+  if int(np.prod(mesh_shape)) != n:
+    raise ValueError(f'mesh_shape {mesh_shape} != {n} devices')
+  dev_array = np.asarray(devices).reshape(mesh_shape)
+  return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh):
+  """Batch dim sharded over the data axis."""
+  return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh):
+  return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh):
+  """Places a host batch dict on the mesh, sharded on the leading dim."""
+  sh = batch_sharding(mesh)
+  return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

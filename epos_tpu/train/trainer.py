@@ -1,0 +1,180 @@
+"""Sharded training step for EPOS-TPU.
+
+One jitted function computes forward, the three losses, gradients, and the
+optimizer update. Data parallelism comes from input shardings on a
+`jax.sharding.Mesh` — XLA inserts the gradient all-reduce over ICI, replacing
+the reference's per-GPU clones + CPU averaging (scripts/train.py:344-366).
+
+Optimizer semantics mirrored from the reference:
+- SGD momentum 0.9 (train.py:340) with poly/step LR (train_utils.py:117-195).
+- L2 weight decay 4e-5 on conv kernels except depthwise
+  (xception_arg_scope regularize_depthwise=False, net_xception.py:741;
+  model.py uses slim.l2_regularizer on pointwise/dense convs only).
+- Gradient multipliers: 2x biases, Nx last layers (train_utils.py:84-114).
+- Regex freezing of variable subsets (scripts/train.py:85-87,368-378).
+"""
+
+import re
+from typing import Any, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from epos_tpu import common
+from epos_tpu.models import epos_model
+from epos_tpu.parallel import mesh as mesh_lib
+from epos_tpu.train import losses, schedules
+
+
+class TrainState(flax.struct.PyTreeNode):
+  step: jnp.ndarray
+  params: Any
+  batch_stats: Any
+  opt_state: Any
+  tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+  model: Any = flax.struct.field(pytree_node=False)
+
+
+def _path_str(path):
+  return '/'.join(str(getattr(p, 'key', p)) for p in path)
+
+
+def _is_bias(path):
+  return _path_str(path).endswith('bias')
+
+
+def _is_decayed_kernel(path):
+  """Conv kernels get L2 decay; depthwise convs, biases and BN scales don't."""
+  s = _path_str(path)
+  return s.endswith('kernel') and 'depthwise' not in s
+
+
+# Scopes of the "extra" (non-backbone) layers (reference model.py:28-48).
+LAST_LAYER_SCOPES = ('logits', 'image_pooling', 'aspp', 'concat_projection',
+                     'decoder')
+
+
+def _is_last_layer(path, logits_only=False):
+  s = _path_str(path)
+  scopes = ('logits',) if logits_only else LAST_LAYER_SCOPES
+  return any(s.startswith(scope) or f'/{scope}' in s for scope in scopes)
+
+
+def gradient_multipliers(params, last_layer_multiplier=1.0,
+                         logits_only=False):
+  """Multiplier tree: 2x biases, Nx last layers, 2Nx last-layer biases
+  (train_utils.py:84-114)."""
+  def mult(path, _):
+    m = 1.0
+    if _is_bias(path):
+      m *= 2.0
+    if last_layer_multiplier != 1.0 and _is_last_layer(path, logits_only):
+      m *= last_layer_multiplier
+    return m
+  return jax.tree_util.tree_map_with_path(mult, params)
+
+
+def freeze_mask(params, freeze_regex_list):
+  """True where the parameter is trainable (train.py:368-378 semantics:
+  variables matching any regex are excluded from training)."""
+  patterns = [re.compile(p) for p in (freeze_regex_list or []) if p]
+
+  def keep(path, _):
+    s = _path_str(path)
+    return not any(p.match(s) for p in patterns)
+  return jax.tree_util.tree_map_with_path(keep, params)
+
+
+def make_optimizer(cfg, params):
+  """optax chain implementing the reference optimizer semantics."""
+  lr = schedules.from_config(cfg)
+  mults = gradient_multipliers(
+      params, cfg.last_layer_gradient_multiplier,
+      cfg.last_layers_contain_logits_only)
+  trainable = freeze_mask(params, cfg.freeze_regex_list)
+
+  chain = [
+      optax.add_decayed_weights(
+          cfg.weight_decay,
+          mask=jax.tree_util.tree_map_with_path(
+              lambda p, _: _is_decayed_kernel(p), params)),
+      # Per-variable gradient multipliers.
+      optax.multi_transform(
+          {m: optax.scale(m) for m in
+           set(jax.tree_util.tree_leaves(mults))},
+          param_labels=mults),
+      optax.sgd(lr, momentum=cfg.momentum),
+  ]
+  tx = optax.chain(*chain)
+  if any(not t for t in jax.tree_util.tree_leaves(trainable)):
+    tx = optax.masked(tx, trainable)
+  return tx
+
+
+def create_train_state(cfg, num_objs, rng, sample_image):
+  """Initializes model + optimizer. sample_image: [B, H, W, 3]."""
+  model = epos_model.build_model(cfg, num_objs)
+  variables = model.init(rng, sample_image, train=False)
+  params = variables['params']
+  batch_stats = variables.get('batch_stats', {})
+  tx = make_optimizer(cfg, params)
+  return TrainState(
+      step=jnp.zeros((), jnp.int32),
+      params=params,
+      batch_stats=batch_stats,
+      opt_state=tx.init(params),
+      tx=tx,
+      model=model)
+
+
+def train_step(state, batch, dropout_rng, cfg, num_objs):
+  """One training step. Pure function of (state, batch, rng)."""
+  model = state.model
+
+  def loss_fn(params):
+    variables = {'params': params, 'batch_stats': state.batch_stats}
+    train_bn = cfg.fine_tune_batch_norm
+    rngs = {'dropout': jax.random.fold_in(dropout_rng, state.step)}
+    logits, new_state = epos_model.multi_scale_logits(
+        model, variables, batch[common.IMAGE],
+        image_pyramid=cfg.image_pyramid, merge_method=cfg.merge_method,
+        train=True, rngs=rngs,
+        mutable=['batch_stats'] if train_bn else [])
+    total, parts = losses.total_loss(
+        logits, batch, num_objs, cfg.num_frags, cfg)
+    new_bs = (new_state['batch_stats'] if train_bn and new_state
+              else state.batch_stats)
+    return total, (parts, new_bs)
+
+  grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+  (total, (parts, new_bs)), grads = grad_fn(state.params)
+  updates, new_opt_state = state.tx.update(
+      grads, state.opt_state, state.params)
+  new_params = optax.apply_updates(state.params, updates)
+  metrics = dict(parts, total_loss=total,
+                 learning_rate=schedules.from_config(cfg)(state.step))
+  new_state = state.replace(
+      step=state.step + 1, params=new_params, batch_stats=new_bs,
+      opt_state=new_opt_state)
+  return new_state, metrics
+
+
+def make_jitted_train_step(cfg, num_objs, mesh: Optional[Any] = None):
+  """Jits train_step with mesh shardings (state replicated, batch on 'data').
+
+  Under jit, XLA sees batch inputs sharded over the data axis and replicated
+  parameters, and emits the psum for gradients automatically.
+  """
+  def step_fn(state, batch, rng):
+    return train_step(state, batch, rng, cfg, num_objs)
+
+  if mesh is None:
+    return jax.jit(step_fn, donate_argnums=(0,))
+  repl = mesh_lib.replicated(mesh)
+  data = mesh_lib.batch_sharding(mesh)
+  return jax.jit(
+      step_fn, donate_argnums=(0,),
+      in_shardings=(repl, data, repl),
+      out_shardings=(repl, repl))

@@ -6,8 +6,13 @@ This exercises the jax.sharding multi-chip code paths without TPU hardware
 
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+os.environ['JAX_PLATFORMS'] = 'cpu'
 xla_flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in xla_flags:
   os.environ['XLA_FLAGS'] = (
       xla_flags + ' --xla_force_host_platform_device_count=8').strip()
+
+# The environment's sitecustomize forces the 'axon' TPU platform regardless
+# of JAX_PLATFORMS; override it through the config API.
+import jax  # noqa: E402
+jax.config.update('jax_platforms', 'cpu')

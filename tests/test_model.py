@@ -1,0 +1,132 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from epos_tpu import common
+from epos_tpu.config import Config
+from epos_tpu.models import epos_model
+from epos_tpu.models.layers import resize_bilinear, scale_dimension
+
+NUM_OBJS = 2
+NUM_FRAGS = 4
+
+
+def tiny_cfg(**kw):
+  cfg = Config(num_frags=NUM_FRAGS, atrous_rates=[2, 4, 6],
+               compute_dtype='float32')
+  for k, v in kw.items():
+    setattr(cfg, k, v)
+  return cfg
+
+
+def init_and_run(cfg, h=64, w=64, train=False):
+  model = epos_model.build_model(cfg, NUM_OBJS)
+  x = jnp.zeros((1, h, w, 3), jnp.float32)
+  variables = model.init(jax.random.PRNGKey(0), x, train=False)
+  return model, variables, x
+
+
+def test_resize_bilinear_align_corners():
+  # align_corners=True: corners map exactly.
+  x = jnp.array([[0.0, 1.0], [2.0, 3.0]])[None, :, :, None]
+  out = resize_bilinear(x, (3, 3))[0, :, :, 0]
+  expected = np.array([[0, 0.5, 1], [1, 1.5, 2], [2, 2.5, 3]])
+  np.testing.assert_allclose(np.asarray(out), expected, atol=1e-6)
+
+
+def test_scale_dimension():
+  # Reference: model.py:100-114.
+  assert scale_dimension(480, 0.25) == 120
+  assert scale_dimension(640, 0.25) == 160
+  assert scale_dimension(480, 0.125) == 60
+  assert scale_dimension(65, 0.5) == 33
+
+
+@pytest.mark.parametrize('variant', ['xception_65', 'resnet_v1_50_beta'])
+def test_model_shapes(variant):
+  cfg = tiny_cfg(model_variant=variant)
+  model, variables, x = init_and_run(cfg)
+  logits = model.apply(variables, x, train=False)
+  # Output at decoder stride 4 of 64x64 -> scale_dimension(64, 0.25) = 16.
+  oh = ow = scale_dimension(64, 0.25)
+  assert logits[common.PRED_OBJ_CONF].shape == (1, oh, ow, NUM_OBJS + 1)
+  assert logits[common.PRED_FRAG_CONF].shape == (
+      1, oh, ow, NUM_OBJS * NUM_FRAGS)
+  assert logits[common.PRED_FRAG_LOC].shape == (
+      1, oh, ow, NUM_OBJS * NUM_FRAGS * 3)
+  for v in logits.values():
+    assert v.dtype == jnp.float32
+    assert np.all(np.isfinite(np.asarray(v)))
+
+
+def test_predict_dict():
+  cfg = tiny_cfg()
+  model, variables, x = init_and_run(cfg)
+  preds = epos_model.predict(model, variables, x)
+  oh = ow = scale_dimension(64, 0.25)
+  assert preds[common.PRED_OBJ_CONF].shape == (1, oh, ow, NUM_OBJS + 1)
+  assert preds[common.PRED_OBJ_LABEL].shape == (1, oh, ow)
+  assert preds[common.PRED_FRAG_CONF].shape == (
+      1, oh, ow, NUM_OBJS, NUM_FRAGS)
+  assert preds[common.PRED_FRAG_LOC].shape == (
+      1, oh, ow, NUM_OBJS, NUM_FRAGS, 3)
+  # Softmax outputs sum to 1.
+  np.testing.assert_allclose(
+      np.asarray(preds[common.PRED_OBJ_CONF].sum(-1)), 1.0, atol=1e-5)
+  np.testing.assert_allclose(
+      np.asarray(preds[common.PRED_FRAG_CONF].sum(-1)), 1.0, atol=1e-5)
+
+
+def test_predict_jits():
+  cfg = tiny_cfg()
+  model, variables, x = init_and_run(cfg)
+  fn = jax.jit(lambda v, im: epos_model.predict(model, v, im))
+  preds = fn(variables, x)
+  assert preds[common.PRED_OBJ_LABEL].shape[1] == scale_dimension(64, 0.25)
+
+
+def test_multi_scale_merge():
+  cfg = tiny_cfg(image_pyramid=[1.0, 0.5])
+  model, variables, x = init_and_run(cfg)
+  logits, _ = epos_model.multi_scale_logits(
+      model, variables, x, image_pyramid=[1.0, 0.5], merge_method='max')
+  oh = scale_dimension(64, 1.0 / 4)
+  assert logits[common.PRED_OBJ_CONF].shape == (1, oh, oh, NUM_OBJS + 1)
+  # Max merge >= each component: recompute single scales.
+  l1, _ = epos_model.multi_scale_logits(model, variables, x,
+                                        image_pyramid=[1.0])
+  assert np.all(np.asarray(logits[common.PRED_OBJ_CONF]) >=
+                np.asarray(l1[common.PRED_OBJ_CONF]) - 1e-5)
+
+
+def test_train_mode_updates_batch_stats():
+  cfg = tiny_cfg()
+  model, variables, x = init_and_run(cfg)
+  rng = jax.random.PRNGKey(1)
+  x2 = jax.random.normal(rng, (2, 64, 64, 3)) * 50 + 128
+  out, new_state = model.apply(
+      variables, x2, train=True, rngs={'dropout': rng},
+      mutable=['batch_stats'])
+  old = jax.tree_util.tree_leaves(variables['batch_stats'])
+  new = jax.tree_util.tree_leaves(new_state['batch_stats'])
+  assert any(not np.allclose(o, n) for o, n in zip(old, new))
+
+
+def test_bfloat16_compute():
+  cfg = tiny_cfg()
+  cfg.compute_dtype = 'bfloat16'
+  model, variables, x = init_and_run(cfg)
+  logits = model.apply(variables, x, train=False)
+  # Heads cast to f32; params stored in f32.
+  assert logits[common.PRED_OBJ_CONF].dtype == jnp.float32
+  p = jax.tree_util.tree_leaves(variables['params'])[0]
+  assert p.dtype == jnp.float32
+
+
+def test_encoder_stride_16():
+  cfg = tiny_cfg(encoder_output_stride=16, atrous_rates=[6, 12, 18])
+  model, variables, x = init_and_run(cfg)
+  logits = model.apply(variables, x, train=False)
+  # Decoder still brings it to stride 4.
+  assert logits[common.PRED_OBJ_CONF].shape[1] == scale_dimension(64, 0.25)

@@ -1,0 +1,129 @@
+import numpy as np
+import pytest
+
+from epos_tpu.data import renderer as renderer_lib
+from epos_tpu.ops import geometry
+from tests import synthetic
+
+
+def test_depth_center_value():
+  """A box at z=800 facing the camera: center pixel depth = 800 - sz/2."""
+  s = synthetic.simple_scene()
+  r = s['renderer']
+  R = np.eye(3)
+  t = np.array([0.0, 0.0, 800.0])
+  r.render_object(s['obj_id'], R.flatten(), t, 300, 300, 80, 60)
+  depth = r.get_depth_image(s['obj_id'])
+  assert depth.shape == (120, 160)
+  # Center pixel: front face of the box at z = 800 - 15.
+  assert depth[60, 80] == pytest.approx(785.0, abs=0.5)
+  # Far corner pixels: background.
+  assert depth[0, 0] == 0.0
+
+
+def test_silhouette_extent():
+  """Box of 60x40 mm at z=800 with f=300: ~22.5 x 15 px silhouette."""
+  s = synthetic.simple_scene()
+  r = s['renderer']
+  r.render_object(s['obj_id'], np.eye(3).flatten(), [0, 0, 800.0],
+                  300, 300, 80, 60)
+  depth = r.get_depth_image(s['obj_id'])
+  ys, xs = np.nonzero(depth)
+  w_px = xs.max() - xs.min() + 1
+  h_px = ys.max() - ys.min() + 1
+  assert abs(w_px - 300 * 60 / 785) < 2
+  assert abs(h_px - 300 * 40 / 785) < 2
+
+
+def test_local_xyz_reprojects_to_pixel_center():
+  """The rendered local-XYZ at a pixel must project back onto that pixel.
+
+  This is the core contract for GT generation (check_train_input.py:55-99).
+  """
+  s = synthetic.simple_scene()
+  r = s['renderer']
+  R, t, K = s['R'], s['t'], s['K']
+  r.render_object(s['obj_id'], R.flatten(), t,
+                  K[0, 0], K[1, 1], K[0, 2], K[1, 2])
+  depth = r.get_depth_image(s['obj_id'])
+  xyz = r.get_local_pos_image(s['obj_id'])
+  ys, xs = np.nonzero(depth)
+  assert len(ys) > 50
+  pts = xyz[ys, xs]
+  uv = geometry.project_pts(pts, K, R, t)
+  centers = np.stack([xs + 0.5, ys + 0.5], 1)
+  err = np.linalg.norm(uv - centers, axis=1)
+  assert err.mean() < 0.05
+  assert err.max() < 0.5
+
+
+def test_native_matches_numpy():
+  """Native C++ and numpy fallback must agree."""
+  s = synthetic.simple_scene()
+  r = s['renderer']
+  if r._native is None:
+    pytest.skip('native rasterizer not built')
+  R, t, K = s['R'], s['t'], s['K']
+  mesh = s['mesh']
+  import numpy as np
+  V = mesh['pts'].astype(np.float64)
+  F = mesh['faces'].astype(np.int32)
+  C = mesh['colors'].astype(np.uint8)
+  r.render_object(s['obj_id'], R.flatten(), t, K[0, 0], K[1, 1],
+                  K[0, 2], K[1, 2])
+  d_native = r.get_depth_image(s['obj_id']).copy()
+  x_native = r.get_local_pos_image(s['obj_id']).copy()
+  d_py, x_py, _ = renderer_lib._rasterize_py(
+      V, F, C, R, t, K[0, 0], K[1, 1], K[0, 2], K[1, 2], 160, 120)
+  # Same silhouette except possible 1px edge differences.
+  agree = (d_native > 0) == (d_py > 0)
+  assert agree.mean() > 0.99
+  both = (d_native > 0) & (d_py > 0)
+  np.testing.assert_allclose(d_native[both], d_py[both], rtol=1e-4)
+  np.testing.assert_allclose(x_native[both], x_py[both], atol=0.1)
+
+
+def test_depth_occlusion_order():
+  """Two renders: nearer face wins the z-buffer."""
+  s = synthetic.simple_scene()
+  r = s['renderer']
+  # Rotate so two faces project to overlapping pixels; depth must be the min
+  # of candidate surfaces -> strictly the front surface.
+  R = geometry.quaternion_matrix(np.array([0.92, 0.2, 0.33, 0.0]))
+  r.render_object(s['obj_id'], R.flatten(), [0, 0, 600.0], 300, 300, 80, 60)
+  depth = r.get_depth_image(s['obj_id'])
+  vis = depth[depth > 0]
+  # All visible depths must be on the near half of the box.
+  assert vis.min() > 600 - 40 and vis.max() < 600 + 40
+  # Front surface only: depth at center below box center distance.
+  assert depth[60, 80] < 600
+
+
+def test_thread_safety():
+  """Concurrent renders from multiple threads give the same results."""
+  import threading
+  s = synthetic.simple_scene()
+  r = s['renderer']
+  K = s['K']
+  results = {}
+
+  def work(tid):
+    R = geometry.quaternion_matrix(
+        np.array([1.0, 0.1 * tid, 0.0, 0.0]) /
+        np.linalg.norm([1.0, 0.1 * tid, 0.0, 0.0]))
+    for _ in range(3):
+      r.render_object(s['obj_id'], R.flatten(), [0, 0, 700.0],
+                      K[0, 0], K[1, 1], K[0, 2], K[1, 2])
+    results[tid] = r.get_depth_image(s['obj_id']).copy()
+
+  threads = [threading.Thread(target=work, args=(i,)) for i in range(4)]
+  for th in threads:
+    th.start()
+  for th in threads:
+    th.join()
+
+  # Each thread's result must equal its serial re-render.
+  for tid in range(4):
+    work(tid)
+    serial = r.get_depth_image(s['obj_id']).copy()
+    np.testing.assert_array_equal(results[tid], serial)

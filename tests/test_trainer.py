@@ -1,0 +1,131 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from epos_tpu import common
+from epos_tpu.config import Config
+from epos_tpu.parallel import mesh as mesh_lib
+from epos_tpu.train import schedules, trainer
+
+NUM_OBJS = 2
+NUM_FRAGS = 4
+H = W = 32
+
+
+def micro_cfg(**kw):
+  cfg = Config(num_frags=NUM_FRAGS, model_variant='xception_micro',
+               atrous_rates=[2, 4], compute_dtype='float32',
+               train_crop_size=[W, H], fine_tune_batch_norm=True)
+  for k, v in kw.items():
+    setattr(cfg, k, v)
+  return cfg
+
+
+def make_batch(batch_size, oh, ow, seed=0):
+  r = np.random.default_rng(seed)
+  obj_label = r.integers(0, NUM_OBJS + 1, size=(batch_size, oh, ow))
+  return {
+      common.IMAGE: jnp.asarray(
+          r.uniform(0, 255, (batch_size, H, W, 3)), jnp.float32),
+      common.GT_OBJ_LABEL: jnp.asarray(obj_label),
+      common.GT_FRAG_LABEL: jnp.asarray(
+          r.integers(0, NUM_FRAGS, (batch_size, oh, ow, 1))),
+      common.GT_FRAG_LOC: jnp.asarray(
+          r.normal(size=(batch_size, oh, ow, 1, 3)), jnp.float32),
+      common.GT_FRAG_WEIGHT: jnp.ones((batch_size, oh, ow, 1), jnp.float32),
+  }
+
+
+def test_schedules():
+  s = schedules.model_learning_rate(
+      'poly', base_learning_rate=1e-4, train_steps=100, learning_power=0.9,
+      slow_start_step=10, slow_start_learning_rate=1e-6)
+  assert float(s(0)) == pytest.approx(1e-6)
+  assert float(s(50)) == pytest.approx(1e-4 * 0.5 ** 0.9, rel=1e-5)
+  assert float(s(100)) == pytest.approx(0.0, abs=1e-10)
+  st = schedules.model_learning_rate(
+      'step', base_learning_rate=1e-2, learning_rate_decay_step=10,
+      learning_rate_decay_factor=0.1)
+  assert float(st(0)) == pytest.approx(1e-2)
+  assert float(st(25)) == pytest.approx(1e-4, rel=1e-5)
+
+
+def test_gradient_multipliers():
+  params = {
+      'xception_micro': {'conv': {'kernel': jnp.zeros(1),
+                                  'bias': jnp.zeros(1)}},
+      'logits/pred_obj_conf': {'kernel': jnp.zeros(1), 'bias': jnp.zeros(1)},
+  }
+  m = trainer.gradient_multipliers(params, last_layer_multiplier=10.0)
+  assert m['xception_micro']['conv']['kernel'] == 1.0
+  assert m['xception_micro']['conv']['bias'] == 2.0
+  assert m['logits/pred_obj_conf']['kernel'] == 10.0
+  assert m['logits/pred_obj_conf']['bias'] == 20.0
+
+
+def test_freeze_mask():
+  params = {'backbone': {'kernel': jnp.zeros(1)},
+            'logits': {'kernel': jnp.zeros(1)}}
+  mask = trainer.freeze_mask(params, ['backbone.*'])
+  assert mask['backbone']['kernel'] is False
+  assert mask['logits']['kernel'] is True
+
+
+def test_train_step_reduces_loss_single_device():
+  cfg = micro_cfg()
+  rng = jax.random.PRNGKey(0)
+  state = trainer.create_train_state(
+      cfg, NUM_OBJS, rng, jnp.zeros((1, H, W, 3)))
+  oh = ow = 8  # 32 / stride 4.
+  batch = make_batch(1, oh, ow)
+  cfg.base_learning_rate = 1e-2
+  step = trainer.make_jitted_train_step(cfg, NUM_OBJS)
+  losses = []
+  for i in range(8):
+    state, metrics = step(state, batch, rng)
+    losses.append(float(metrics['total_loss']))
+  assert losses[-1] < losses[0]
+  assert int(state.step) == 8
+  assert np.isfinite(losses).all()
+
+
+def test_train_step_sharded_8dev_mesh():
+  """DP over a virtual 8-device CPU mesh (SURVEY.md §2.5)."""
+  assert len(jax.devices()) == 8
+  mesh = mesh_lib.create_mesh()
+  cfg = micro_cfg()
+  rng = jax.random.PRNGKey(0)
+  state = trainer.create_train_state(
+      cfg, NUM_OBJS, rng, jnp.zeros((1, H, W, 3)))
+  batch = make_batch(8, 8, 8)
+  batch = mesh_lib.shard_batch(batch, mesh)
+  step = trainer.make_jitted_train_step(cfg, NUM_OBJS, mesh)
+  state, metrics = step(state, batch, rng)
+  assert np.isfinite(float(metrics['total_loss']))
+  # Params replicated after the step.
+  p = jax.tree_util.tree_leaves(state.params)[0]
+  assert p.sharding.is_fully_replicated
+
+
+def test_sharded_matches_single_device_grads():
+  """The mesh step must equal the single-device step on the same batch."""
+  mesh = mesh_lib.create_mesh()
+  cfg = micro_cfg(fine_tune_batch_norm=False)  # BN stats differ per shard.
+  rng = jax.random.PRNGKey(0)
+  state1 = trainer.create_train_state(
+      cfg, NUM_OBJS, rng, jnp.zeros((1, H, W, 3)))
+  # Deep-copy: the jitted steps donate their input state.
+  state2 = jax.tree_util.tree_map(jnp.copy, state1)
+  batch = make_batch(8, 8, 8)
+
+  step1 = trainer.make_jitted_train_step(cfg, NUM_OBJS)
+  step8 = trainer.make_jitted_train_step(cfg, NUM_OBJS, mesh)
+  state1, m1 = step1(state1, batch, rng)
+  state2, m2 = step8(state2, mesh_lib.shard_batch(batch, mesh), rng)
+  np.testing.assert_allclose(
+      float(m1['total_loss']), float(m2['total_loss']), rtol=1e-5)
+  l1 = jax.tree_util.tree_leaves(state1.params)
+  l2 = jax.tree_util.tree_leaves(state2.params)
+  for a, b in zip(l1, l2):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
