@@ -1,0 +1,107 @@
+"""Many-to-many 2D-3D correspondence extraction, fully on device.
+
+TPU-native re-design of epos_lib/corresp.py:9-101. The reference runs a
+per-object numpy boolean-masking pass on host (dynamic shapes, host round
+trip — timed as 'establish_corr' in infer.py). Here extraction is one jitted
+pass over the dense prediction maps, emitting fixed-capacity top-K buffers
+(padding + validity masks instead of dynamic shapes), which also implements
+the --max_correspondences cap (infer.py:431-440) for free.
+
+Semantics per object id o (1-based; channel 0 is background):
+  obj_mask  = obj_conf[:, :, o] > tau_a                 (corresp.py:47)
+  frag_max  = max over frags of frag_conf at the pixel  (corresp.py:63)
+  frag_mask = frag_conf > tau_b * frag_max              (corresp.py:64)
+  2D        = (px + 0.5) / output_scale                 (corresp.py:55-57)
+  3D        = frag_center + frag_size * pred_offset     (corresp.py:70-78)
+  conf      = P(frag | obj) * P(obj)                    (corresp.py:80-84)
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Correspondences(NamedTuple):
+  """Fixed-capacity correspondence buffers, per object.
+
+  All arrays lead with [num_objs, capacity]. Entries beyond `count` are
+  zero-padded and have valid == False.
+  """
+  coord_2d: jnp.ndarray   # [O, C, 2] image coordinates (input resolution).
+  coord_3d: jnp.ndarray   # [O, C, 3] model coordinates (mm).
+  conf: jnp.ndarray       # [O, C] P(frag, obj).
+  conf_obj: jnp.ndarray   # [O, C] P(obj).
+  conf_frag: jnp.ndarray  # [O, C] P(frag | obj).
+  px_id: jnp.ndarray      # [O, C] flat pixel index (y * w + x).
+  frag_id: jnp.ndarray    # [O, C].
+  valid: jnp.ndarray      # [O, C] bool.
+  count: jnp.ndarray      # [O] int32.
+
+
+def establish_many_to_many(obj_confs, frag_confs, frag_coords, frag_centers,
+                           frag_sizes, output_scale, capacity=2048,
+                           min_obj_conf=0.1, min_frag_rel_conf=0.5,
+                           obj_mask_enable=None):
+  """Extracts correspondences for every object in one fused device pass.
+
+  Args:
+    obj_confs: [h, w, num_objs + 1] softmax object confidences.
+    frag_confs: [h, w, num_objs, num_frags] softmax fragment confidences.
+    frag_coords: [h, w, num_objs, num_frags, 3] predicted offsets (normalized).
+    frag_centers: [num_objs, num_frags, 3] fragment centers (model frame).
+    frag_sizes: [num_objs, num_frags] fragment sizes.
+    output_scale: output / input resolution ratio (e.g. 0.25 for stride 4).
+    capacity: max correspondences kept per object (top-K by confidence).
+    min_obj_conf: tau_a.
+    min_frag_rel_conf: tau_b.
+    obj_mask_enable: optional [num_objs] bool — objects to consider
+      (LOCALIZATION mode restricts to annotated ids, corresp.py:42).
+
+  Returns:
+    Correspondences (see class doc). Jittable; vmapped over objects.
+  """
+  h, w, num_objs, num_frags = frag_confs.shape
+  if obj_mask_enable is None:
+    obj_mask_enable = jnp.ones((num_objs,), bool)
+
+  # Pixel-center image coordinates at input resolution (misc.py:14-26).
+  ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / output_scale
+  xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / output_scale
+  px_flat = jnp.arange(h * w, dtype=jnp.int32)
+
+  def per_object(o):
+    obj_conf = obj_confs[:, :, o + 1]                 # [h, w]
+    obj_ok = (obj_conf > min_obj_conf) & obj_mask_enable[o]
+    fconf = frag_confs[:, :, o, :]                    # [h, w, F]
+    fmax = jnp.max(fconf, axis=-1, keepdims=True)
+    frag_ok = fconf > (fmax * min_frag_rel_conf)
+    ok = obj_ok[..., None] & frag_ok                  # [h, w, F]
+
+    conf_frag = fconf
+    conf = obj_conf[..., None] * conf_frag            # [h, w, F]
+    score = jnp.where(ok, conf, 0.0).reshape(-1)      # [h*w*F]
+
+    top_conf, top_idx = jax.lax.top_k(score, capacity)
+    valid = top_conf > 0.0
+    pix = (top_idx // num_frags).astype(jnp.int32)
+    frag = (top_idx % num_frags).astype(jnp.int32)
+    yy = pix // w
+    xx = pix % w
+
+    c2d = jnp.stack([xs[xx], ys[yy]], axis=1)         # [C, 2]
+    offsets = frag_coords[yy, xx, o, frag]            # [C, 3]
+    centers = frag_centers[o, frag]
+    sizes = frag_sizes[o, frag][:, None]
+    c3d = centers + offsets * sizes
+    cobj = obj_conf[yy, xx]
+    cfrag = conf_frag[yy, xx, frag]
+
+    zero = lambda x: jnp.where(valid.reshape((-1,) + (1,) * (x.ndim - 1)),
+                               x, 0)
+    return (zero(c2d), zero(c3d), zero(top_conf), zero(cobj), zero(cfrag),
+            jnp.where(valid, pix, 0), jnp.where(valid, frag, 0), valid,
+            jnp.sum(valid).astype(jnp.int32))
+
+  outs = jax.vmap(per_object)(jnp.arange(num_objs))
+  return Correspondences(*outs)

@@ -1,0 +1,151 @@
+"""EPnP perspective-n-point solver in pure JAX (vmappable, jittable).
+
+TPU-native replacement for the EPnP solvers the reference reaches through
+pyprogressivex / cv2.solvePnPRansac (scripts/infer.py:470-528). Weighted
+formulation: every correspondence carries a weight in [0, 1], so fixed-shape
+buffers with mask weights replace dynamic point lists (SURVEY.md §7 "hard
+parts").
+
+Algorithm (Lepetit et al., IJCV 2009): 4 control points from the weighted
+PCA frame, barycentric coordinates, the 2n x 12 projection system, the N=1
+betas solution refined by Gauss-Newton on the control-point distance
+constraints, then weighted Kabsch alignment.
+"""
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-9
+
+
+def _control_points(pts, w):
+  """Weighted PCA control points. pts [n,3], w [n] -> (ctrl [4,3], c0, axes)."""
+  wsum = jnp.maximum(jnp.sum(w), _EPS)
+  c0 = jnp.sum(pts * w[:, None], axis=0) / wsum
+  centered = (pts - c0) * jnp.sqrt(w)[:, None]
+  cov = centered.T @ centered / wsum
+  eigval, eigvec = jnp.linalg.eigh(cov)          # ascending
+  s = jnp.sqrt(jnp.maximum(eigval, 1e-8))
+  ctrl = jnp.concatenate([c0[None], c0[None] + (s[:, None] * eigvec.T)],
+                         axis=0)                  # [4, 3]
+  return ctrl, c0, eigvec, s
+
+
+def _alphas(pts, c0, eigvec, s):
+  """Barycentric coords wrt control points: [n, 4] summing to 1."""
+  proj = (pts - c0) @ eigvec / s[None, :]        # [n, 3]
+  a0 = 1.0 - jnp.sum(proj, axis=1)
+  return jnp.concatenate([a0[:, None], proj], axis=1)
+
+
+def _build_M(alphas, uv, K, w):
+  """The 2n x 12 EPnP system, rows scaled by sqrt(weight)."""
+  fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+  n = alphas.shape[0]
+  u, v = uv[:, 0], uv[:, 1]
+  sw = jnp.sqrt(jnp.maximum(w, 0.0))
+  # Row pairs: [a_i fx, 0, a_i (cx - u)] and [0, a_i fy, a_i (cy - v)].
+  zeros = jnp.zeros_like(alphas)
+  row_u = jnp.stack([alphas * fx, zeros, alphas * (cx - u)[:, None]],
+                    axis=2).reshape(n, 12) * sw[:, None]
+  row_v = jnp.stack([zeros, alphas * fy, alphas * (cy - v)[:, None]],
+                    axis=2).reshape(n, 12) * sw[:, None]
+  return jnp.concatenate([row_u, row_v], axis=0)  # [2n, 12]
+
+
+def _pairs():
+  return jnp.array([(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)])
+
+
+def _ctrl_dists(ctrl):
+  p = _pairs()
+  d = ctrl[p[:, 0]] - ctrl[p[:, 1]]
+  return d, jnp.sum(d * d, axis=1)
+
+
+def _gauss_newton_betas(V, dist_w_sq, beta0, iters=5):
+  """Refines betas so control-point distances match the world distances.
+
+  V: [12, nb] basis of the 4 smallest right-singular vectors (as columns).
+  dist_w_sq: [6] squared world control distances.
+  """
+  p = _pairs()
+  Vr = V.T.reshape(-1, 4, 3)                      # [nb, 4, 3]
+  dv = Vr[:, p[:, 0], :] - Vr[:, p[:, 1], :]      # [nb, 6, 3]
+
+  def body(_, beta):
+    # cc_diff [6,3] for current betas.
+    diff = jnp.einsum('b,bpk->pk', beta, dv)
+    f = jnp.sum(diff * diff, axis=1) - dist_w_sq  # [6]
+    # Jacobian df/dbeta = 2 * diff . dv
+    J = 2.0 * jnp.einsum('pk,bpk->pb', diff, dv)  # [6, nb]
+    JtJ = J.T @ J + 1e-9 * jnp.eye(J.shape[1])
+    step = jnp.linalg.solve(JtJ, J.T @ f)
+    return beta - step
+
+  return jax.lax.fori_loop(0, iters, body, beta0)
+
+
+def _kabsch(src, dst, w):
+  """Weighted rigid alignment src -> dst. Returns (R, t)."""
+  wsum = jnp.maximum(jnp.sum(w), _EPS)
+  ms = jnp.sum(src * w[:, None], axis=0) / wsum
+  md = jnp.sum(dst * w[:, None], axis=0) / wsum
+  H = ((src - ms) * w[:, None]).T @ (dst - md)
+  U, _, Vt = jnp.linalg.svd(H)
+  d = jnp.linalg.det(Vt.T @ U.T)
+  D = jnp.diag(jnp.array([1.0, 1.0, 1.0]) * jnp.where(
+      jnp.arange(3) == 2, d, 1.0))
+  R = Vt.T @ D @ U.T
+  t = md - R @ ms
+  return R, t
+
+
+def solve_epnp(pts3d, uv, K, weights, gn_iters=5, num_basis=4):
+  """Weighted EPnP. pts3d [n,3], uv [n,2], weights [n] (0 disables a row).
+
+  Returns (R [3,3], t [3]) mapping model points into the camera frame.
+  Fully differentiable-free path; float32 throughout; vmappable.
+  """
+  pts3d = pts3d.astype(jnp.float32)
+  uv = uv.astype(jnp.float32)
+  K = K.astype(jnp.float32)
+  w = weights.astype(jnp.float32)
+
+  ctrl_w, c0, eigvec, s = _control_points(pts3d, w)
+  alphas = _alphas(pts3d, c0, eigvec, s)
+  M = _build_M(alphas, uv, K, w)
+  MtM = M.T @ M
+  eigval, eigvecs = jnp.linalg.eigh(MtM)          # ascending
+  V = eigvecs[:, :num_basis]                      # [12, nb] smallest first
+
+  _, dw2 = _ctrl_dists(ctrl_w)
+
+  # N=1 closed-form scale for the smallest eigenvector.
+  v1 = V[:, 0].reshape(4, 3)
+  dv1, dc2 = _ctrl_dists(v1)
+  num = jnp.sum(jnp.sqrt(dc2) * jnp.sqrt(dw2))
+  den = jnp.maximum(jnp.sum(dc2), _EPS)
+  beta0 = jnp.zeros((num_basis,)).at[0].set(num / den)
+
+  beta = _gauss_newton_betas(V, dw2, beta0, iters=gn_iters)
+
+  ctrl_c = jnp.einsum('b,bk->k', beta, V.T).reshape(4, 3)
+  # Cheirality: weighted mean z of reconstructed camera points must be > 0.
+  cam_pts = alphas @ ctrl_c
+  mean_z = jnp.sum(cam_pts[:, 2] * w) / jnp.maximum(jnp.sum(w), _EPS)
+  flip = jnp.where(mean_z < 0, -1.0, 1.0)
+  cam_pts = cam_pts * flip
+
+  return _kabsch(pts3d, cam_pts, w)
+
+
+def reprojection_errors(pts3d, uv, K, R, t):
+  """Per-point reprojection error [n] in pixels."""
+  cam = pts3d @ R.T + t
+  z = jnp.maximum(cam[:, 2], 1e-6)
+  u = K[0, 0] * cam[:, 0] / z + K[0, 2]
+  v = K[1, 1] * cam[:, 1] / z + K[1, 2]
+  behind = cam[:, 2] <= 1e-6
+  err = jnp.sqrt((u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2)
+  return jnp.where(behind, 1e9, err)

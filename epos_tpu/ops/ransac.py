@@ -1,0 +1,170 @@
+"""On-device multi-instance PnP-RANSAC pose fitting.
+
+TPU-native replacement for the Progressive-X / GC-RANSAC / OpenCV-RANSAC
+stack the reference calls on host per object (scripts/infer.py:457-528;
+SURVEY.md §2.3). Redesigned for XLA:
+
+- All hypotheses are generated and scored in ONE batched pass (vmap over
+  hypotheses), instead of a sequential RANSAC loop: `max_fitting_iterations`
+  (reference default 400, infer.py:118-120) becomes the hypothesis batch size.
+- Minimal 6-point samples (min_point_number=6, infer.py:482) are drawn with
+  masked Gumbel top-k -> distinct indices, optionally weighted by confidence
+  (PROSAC-flavored sampling, infer.py:98-100).
+- Multi-instance estimation follows the Progressive-X philosophy: fit the
+  best instance, consume its inliers, repeat (a lax.fori_loop with a fixed
+  instance capacity) — replacing PEARL's alternating optimization with
+  greedy sequential coverage. Each accepted pose must reach the coverage
+  quality tau_q (min_hypothesis_quality, infer.py:84-86).
+- Everything is fixed-shape: consumed-correspondence masks instead of
+  shrinking arrays.
+
+The per-pose refinement runs iterated weighted EPnP on the inlier set
+(re-estimating inliers between iterations) — the counterpart of GC-RANSAC's
+local optimization.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from epos_tpu.ops import epnp
+
+
+class FitResult(NamedTuple):
+  R: jnp.ndarray        # [max_inst, 3, 3]
+  t: jnp.ndarray        # [max_inst, 3]
+  quality: jnp.ndarray  # [max_inst] coverage quality in [0, 1]
+  score: jnp.ndarray    # [max_inst] sum of inlier confidences
+  num_inliers: jnp.ndarray  # [max_inst] int32
+  valid: jnp.ndarray    # [max_inst] bool
+
+
+def _sample_minimal(rng, avail_logits, num_hyps, sample_size):
+  """[num_hyps, sample_size] distinct indices via Gumbel top-k."""
+  g = jax.random.gumbel(rng, (num_hyps,) + avail_logits.shape)
+  _, idx = jax.lax.top_k(avail_logits[None, :] + g, sample_size)
+  return idx
+
+
+def _coverage(px_id, flags, npx):
+  """Number of distinct pixels among flagged correspondences."""
+  buf = jnp.zeros((npx,), jnp.float32)
+  buf = buf.at[px_id].max(flags.astype(jnp.float32))
+  return jnp.sum(buf)
+
+
+def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
+                  rng, num_hypotheses=400, inlier_thresh=4.0,
+                  max_instances=1, num_instances=1,
+                  min_quality=0.5, use_prosac=False, refine_iters=3,
+                  min_corrs=6):
+  """Fits up to `num_instances` poses of one object.
+
+  Args:
+    coord_2d: [C, 2]; coord_3d: [C, 3]; conf/valid/px_id: [C].
+    K: [3, 3] intrinsics.
+    npx: static int, number of pixels in the prediction map (for coverage).
+    num_instances: dynamic int32 — instances to search (LOCALIZATION: count
+      of GT annotations of this object, infer.py:462-466).
+    max_instances: static capacity of the output.
+
+  Returns FitResult with fixed shapes.
+  """
+  C = coord_2d.shape[0]
+
+  def fit_one(avail, key):
+    """One RANSAC round on the available correspondences."""
+    avail_f = avail.astype(jnp.float32)
+    logits = jnp.where(avail, jnp.log(conf + 1e-9) if use_prosac else 0.0,
+                       -1e9)
+    idx = _sample_minimal(key, logits, num_hypotheses, min_corrs)
+
+    pts_h = coord_3d[idx]            # [H, 6, 3]
+    uv_h = coord_2d[idx]             # [H, 6, 2]
+    w_h = avail_f[idx]               # [H, 6] zero if an unavailable slipped in
+
+    solve = jax.vmap(lambda p, u, w: epnp.solve_epnp(p, u, K, w))
+    R_h, t_h = solve(pts_h, uv_h, w_h)
+
+    errs = jax.vmap(
+        lambda R, t: epnp.reprojection_errors(coord_3d, coord_2d, K, R, t)
+    )(R_h, t_h)                       # [H, C]
+    inl = (errs < inlier_thresh) & avail[None, :]
+    scores = jnp.sum(inl * conf[None, :], axis=1)
+    best = jnp.argmax(scores)
+    R_b, t_b = R_h[best], t_h[best]
+
+    # Local optimization: iterated weighted EPnP on the inlier set.
+    def refine(_, carry):
+      R, t = carry
+      e = epnp.reprojection_errors(coord_3d, coord_2d, K, R, t)
+      w = ((e < inlier_thresh) & avail).astype(jnp.float32) * conf
+      ok = jnp.sum(w > 0) >= min_corrs
+      R2, t2 = epnp.solve_epnp(coord_3d, coord_2d, K, w)
+      return (jnp.where(ok, R2, R), jnp.where(ok, t2, t))
+
+    R_b, t_b = jax.lax.fori_loop(0, refine_iters, refine, (R_b, t_b))
+
+    e = epnp.reprojection_errors(coord_3d, coord_2d, K, R_b, t_b)
+    inliers = (e < inlier_thresh) & avail
+    score = jnp.sum(inliers * conf)
+    cov_in = _coverage(px_id, inliers, npx)
+    cov_all = _coverage(px_id, valid, npx)
+    quality = cov_in / jnp.maximum(cov_all, 1.0)
+    return R_b, t_b, inliers, score, quality
+
+  def body(i, carry):
+    consumed, out = carry
+    avail = valid & ~consumed
+    enough = jnp.sum(avail) >= min_corrs
+    want = i < num_instances
+    key = jax.random.fold_in(rng, i)
+    R, t, inliers, score, quality = fit_one(avail, key)
+    accept = enough & want & (quality >= min_quality)
+    consumed = consumed | (inliers & (enough & want))
+    out = FitResult(
+        R=out.R.at[i].set(jnp.where(accept, R, jnp.eye(3))),
+        t=out.t.at[i].set(jnp.where(accept, t, 0.0)),
+        quality=out.quality.at[i].set(jnp.where(accept, quality, 0.0)),
+        score=out.score.at[i].set(jnp.where(accept, score, 0.0)),
+        num_inliers=out.num_inliers.at[i].set(
+            jnp.where(accept, jnp.sum(inliers), 0).astype(jnp.int32)),
+        valid=out.valid.at[i].set(accept))
+    return consumed, out
+
+  init = FitResult(
+      R=jnp.tile(jnp.eye(3)[None], (max_instances, 1, 1)),
+      t=jnp.zeros((max_instances, 3)),
+      quality=jnp.zeros((max_instances,)),
+      score=jnp.zeros((max_instances,)),
+      num_inliers=jnp.zeros((max_instances,), jnp.int32),
+      valid=jnp.zeros((max_instances,), bool))
+  _, out = jax.lax.fori_loop(
+      0, max_instances, body, (jnp.zeros((C,), bool), init))
+  return out
+
+
+def fit_all_objects(corrs, K, npx, rng, instance_counts, num_hypotheses=400,
+                    inlier_thresh=4.0, max_instances=1, min_quality=0.5,
+                    use_prosac=False, refine_iters=3):
+  """vmap of fit_instances over the object axis of a Correspondences batch.
+
+  corrs: epos_tpu.ops.corresp.Correspondences ([O, C, ...] arrays).
+  instance_counts: [O] int32.
+  Returns FitResult with leading [O] axis.
+  """
+  num_objs = corrs.coord_2d.shape[0]
+  keys = jax.random.split(rng, num_objs)
+
+  def per_obj(c2d, c3d, conf, px, val, n_inst, key):
+    return fit_instances(
+        c2d, c3d, conf, px, val, K, npx, key,
+        num_hypotheses=num_hypotheses, inlier_thresh=inlier_thresh,
+        max_instances=max_instances, num_instances=n_inst,
+        min_quality=min_quality, use_prosac=use_prosac,
+        refine_iters=refine_iters)
+
+  return jax.vmap(per_obj)(
+      corrs.coord_2d, corrs.coord_3d, corrs.conf, corrs.px_id, corrs.valid,
+      instance_counts, keys)

@@ -1,0 +1,200 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from epos_tpu.ops import corresp as corresp_lib
+from epos_tpu.ops import epnp, geometry, ransac
+
+K = np.array([[572.4, 0, 325.3], [0, 573.6, 242.0], [0, 0, 1.0]])
+
+
+def random_pose(seed=0):
+  r = np.random.default_rng(seed)
+  q = r.normal(size=4)
+  q /= np.linalg.norm(q)
+  R = geometry.quaternion_matrix(q)
+  t = np.array([r.uniform(-50, 50), r.uniform(-50, 50), r.uniform(600, 1200)])
+  return R, t
+
+
+def make_corrs(n=40, seed=0, noise=0.0):
+  r = np.random.default_rng(seed)
+  R, t = random_pose(seed + 1)
+  pts = r.uniform(-60, 60, size=(n, 3))
+  uv = np.asarray(geometry.project_pts(pts, K, R, t))
+  uv += r.normal(scale=noise, size=uv.shape)
+  return pts, uv, R, t
+
+
+def pose_errors(R_est, t_est, R, t):
+  dR = np.asarray(R_est) @ R.T
+  ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+  dt = np.linalg.norm(np.asarray(t_est) - t)
+  return ang, dt
+
+
+def test_epnp_exact():
+  pts, uv, R, t = make_corrs(30, seed=3)
+  R_est, t_est = epnp.solve_epnp(
+      jnp.asarray(pts), jnp.asarray(uv), jnp.asarray(K), jnp.ones(30))
+  ang, dt = pose_errors(R_est, t_est, R, t)
+  assert ang < 0.1, f'rotation error {ang} deg'
+  assert dt < 1.0, f'translation error {dt} mm'
+
+
+def test_epnp_noise_robust():
+  pts, uv, R, t = make_corrs(100, seed=4, noise=0.5)
+  R_est, t_est = epnp.solve_epnp(
+      jnp.asarray(pts), jnp.asarray(uv), jnp.asarray(K), jnp.ones(100))
+  ang, dt = pose_errors(R_est, t_est, R, t)
+  assert ang < 2.0
+  assert dt < 10.0
+
+
+def test_epnp_weights_mask_outliers():
+  pts, uv, R, t = make_corrs(30, seed=5)
+  # Append garbage rows with zero weight.
+  pts_aug = np.concatenate([pts, np.random.default_rng(9).uniform(
+      -500, 500, (10, 3))])
+  uv_aug = np.concatenate([uv, np.random.default_rng(10).uniform(
+      0, 640, (10, 2))])
+  w = np.concatenate([np.ones(30), np.zeros(10)])
+  R_est, t_est = epnp.solve_epnp(
+      jnp.asarray(pts_aug), jnp.asarray(uv_aug), jnp.asarray(K),
+      jnp.asarray(w))
+  ang, dt = pose_errors(R_est, t_est, R, t)
+  assert ang < 0.1 and dt < 1.0
+
+
+def test_epnp_vmap_jit():
+  pts, uv, R, t = make_corrs(24, seed=6)
+  batch_pts = jnp.tile(jnp.asarray(pts)[None], (8, 1, 1))
+  batch_uv = jnp.tile(jnp.asarray(uv)[None], (8, 1, 1))
+  f = jax.jit(jax.vmap(
+      lambda p, u: epnp.solve_epnp(p, u, jnp.asarray(K), jnp.ones(24))))
+  R_b, t_b = f(batch_pts, batch_uv)
+  assert R_b.shape == (8, 3, 3)
+  ang, dt = pose_errors(R_b[3], t_b[3], R, t)
+  assert ang < 0.1 and dt < 1.0
+
+
+def test_reprojection_errors():
+  pts, uv, R, t = make_corrs(10, seed=7)
+  e = epnp.reprojection_errors(
+      jnp.asarray(pts), jnp.asarray(uv), jnp.asarray(K),
+      jnp.asarray(R), jnp.asarray(t))
+  assert float(jnp.max(e)) < 1e-3
+
+
+def _np_establish(obj_confs, frag_confs, frag_coords, frag_centers,
+                  frag_sizes, output_scale, tau_a, tau_b):
+  """Direct numpy port of the reference semantics (corresp.py:9-101) used as
+  the parity oracle for the fused device implementation."""
+  out = {}
+  num_objs = frag_confs.shape[2]
+  for o in range(num_objs):
+    obj_id = o + 1
+    obj_conf = obj_confs[:, :, obj_id]
+    obj_mask = obj_conf > tau_a
+    if not np.any(obj_mask):
+      continue
+    yx = np.stack(np.nonzero(obj_mask), 0).T
+    im_coords = (np.flip(yx, 1).astype(np.float64) + 0.5) / output_scale
+    fconf = frag_confs[obj_mask][:, o, :]
+    fmax = fconf.max(1, keepdims=True)
+    fmask = fconf > fmax * tau_b
+    finds = np.stack(np.nonzero(fmask), 0).T
+    c2d = im_coords[finds[:, 0]]
+    c3d = frag_centers[o][finds[:, 1]] + \
+        frag_coords[obj_mask][:, o][fmask] * \
+        frag_sizes[o][finds[:, 1]][:, None]
+    conf = obj_conf[obj_mask][finds[:, 0]] * fconf[fmask]
+    out[obj_id] = {'coord_2d': c2d, 'coord_3d': c3d, 'conf': conf}
+  return out
+
+
+def test_corresp_matches_reference_semantics():
+  r = np.random.default_rng(11)
+  h, w, O, F = 12, 16, 3, 5
+  obj_logits = r.normal(size=(h, w, O + 1)) * 2
+  obj_confs = np.asarray(jax.nn.softmax(jnp.asarray(obj_logits), -1))
+  frag_logits = r.normal(size=(h, w, O, F)) * 2
+  frag_confs = np.asarray(jax.nn.softmax(jnp.asarray(frag_logits), -1))
+  frag_coords = r.normal(size=(h, w, O, F, 3)).astype(np.float32)
+  centers = r.uniform(-40, 40, (O, F, 3))
+  sizes = r.uniform(5, 30, (O, F))
+
+  got = corresp_lib.establish_many_to_many(
+      jnp.asarray(obj_confs), jnp.asarray(frag_confs),
+      jnp.asarray(frag_coords), jnp.asarray(centers), jnp.asarray(sizes),
+      output_scale=0.25, capacity=h * w * F)
+  want = _np_establish(obj_confs, frag_confs, frag_coords, centers, sizes,
+                       0.25, 0.1, 0.5)
+
+  for o in range(O):
+    cnt = int(got.count[o])
+    if o + 1 not in want:
+      assert cnt == 0
+      continue
+    exp = want[o + 1]
+    assert cnt == exp['coord_2d'].shape[0]
+    # Compare as sets sorted by confidence.
+    gi = np.argsort(-np.asarray(got.conf[o][:cnt]))
+    ei = np.argsort(-exp['conf'])
+    np.testing.assert_allclose(np.asarray(got.conf[o][:cnt])[gi],
+                               exp['conf'][ei], rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.coord_2d[o][:cnt])[gi],
+                               exp['coord_2d'][ei], rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.coord_3d[o][:cnt])[gi],
+                               exp['coord_3d'][ei], rtol=1e-3, atol=1e-3)
+
+
+def test_ransac_with_outliers():
+  pts, uv, R, t = make_corrs(120, seed=12, noise=0.3)
+  r = np.random.default_rng(13)
+  n_out = 60
+  pts_all = np.concatenate([pts, r.uniform(-60, 60, (n_out, 3))])
+  uv_all = np.concatenate([uv, r.uniform(0, 640, (n_out, 2))])
+  conf = np.concatenate([np.ones(120), np.ones(n_out) * 0.5])
+  px = np.arange(180)
+  valid = np.ones(180, bool)
+
+  res = ransac.fit_instances(
+      jnp.asarray(uv_all, jnp.float32),
+      jnp.asarray(pts_all, jnp.float32),
+      jnp.asarray(conf, jnp.float32), jnp.asarray(px, jnp.int32),
+      jnp.asarray(valid), jnp.asarray(K, jnp.float32), npx=256,
+      rng=jax.random.PRNGKey(0), num_hypotheses=128,
+      inlier_thresh=4.0, max_instances=1, num_instances=1,
+      min_quality=0.3)
+  assert bool(res.valid[0])
+  ang, dt = pose_errors(res.R[0], res.t[0], R, t)
+  assert ang < 2.0, f'rotation err {ang}'
+  assert dt < 15.0, f'translation err {dt}'
+  assert int(res.num_inliers[0]) > 100
+
+
+def test_ransac_two_instances():
+  pts1, uv1, R1, t1 = make_corrs(80, seed=14, noise=0.2)
+  pts2, uv2, R2, t2 = make_corrs(80, seed=15, noise=0.2)
+  pts_all = np.concatenate([pts1, pts2]).astype(np.float32)
+  uv_all = np.concatenate([uv1, uv2]).astype(np.float32)
+  conf = np.ones(160, np.float32)
+  px = np.arange(160)
+  res = ransac.fit_instances(
+      jnp.asarray(uv_all), jnp.asarray(pts_all), jnp.asarray(conf),
+      jnp.asarray(px, jnp.int32), jnp.ones(160, bool),
+      jnp.asarray(K, jnp.float32), npx=256, rng=jax.random.PRNGKey(1),
+      num_hypotheses=256, inlier_thresh=4.0, max_instances=2,
+      num_instances=2, min_quality=0.2)
+  assert bool(res.valid[0]) and bool(res.valid[1])
+  errs = []
+  for i in range(2):
+    e1 = pose_errors(res.R[i], res.t[i], R1, t1)
+    e2 = pose_errors(res.R[i], res.t[i], R2, t2)
+    errs.append(min(e1[0], e2[0]))
+  assert max(errs) < 3.0, errs
+  # The two poses must differ (found both instances).
+  ang01 = pose_errors(res.R[0], np.asarray(res.t[0]),
+                      np.asarray(res.R[1]), np.asarray(res.t[1]))[0]
+  assert ang01 > 5.0
