@@ -271,11 +271,16 @@ _DATASET_IM_SIZE = {
 
 def get_model_params(datasets_path, dataset_name, model_type=None):
   """Model paths per dataset (bop_toolkit dataset_params.get_model_params,
-  used at epos_lib/datagen.py:61-62)."""
+  used at epos_lib/datagen.py:61-62). Unknown (custom) datasets discover
+  their object IDs from the models directory."""
   models_dir = 'models' if model_type is None else f'models_{model_type}'
   base = os.path.join(datasets_path, dataset_name, models_dir)
+  obj_ids = list(_DATASET_OBJ_IDS.get(dataset_name, []))
+  if not obj_ids:
+    found = sorted(glob.glob(os.path.join(base, 'obj_*.ply')))
+    obj_ids = [int(re.search(r'obj_(\d+)\.ply$', f).group(1)) for f in found]
   return {
-      'obj_ids': list(_DATASET_OBJ_IDS.get(dataset_name, [])),
+      'obj_ids': obj_ids,
       'model_tpath': os.path.join(base, 'obj_{obj_id:06d}.ply'),
       'models_info_path': os.path.join(base, 'models_info.json'),
   }

@@ -1,0 +1,291 @@
+"""TFRecord + tf.train.Example I/O without TensorFlow.
+
+The reference stores examples as tf.train.Example protos in TFRecord files
+(epos_lib/tfrecord.py, epos_lib/datagen.py:384-422). This module implements
+a minimal, dependency-free codec for exactly that format so EPOS-TPU reads
+the reference's data files and writes compatible ones:
+
+- TFRecord framing: <u64 length><u32 masked-crc32c(len)><bytes><u32 crc>.
+  CRCs are verified lazily (readers skip them for speed; writer emits valid
+  masked crc32c so files interop with TF readers).
+- Example proto: features{ map<string, Feature> } with BytesList / FloatList
+  / Int64List, hand-encoded (the schema is tiny and stable).
+"""
+
+import os
+import struct
+
+import numpy as np
+
+# --- crc32c (Castagnoli), table-driven ---------------------------------------
+
+_CRC_TABLE = None
+
+
+def _crc_table():
+  global _CRC_TABLE
+  if _CRC_TABLE is None:
+    poly = 0x82F63B78
+    table = np.zeros(256, np.uint32)
+    for i in range(256):
+      c = i
+      for _ in range(8):
+        c = (c >> 1) ^ poly if c & 1 else c >> 1
+      table[i] = c
+    _CRC_TABLE = table
+  return _CRC_TABLE
+
+
+def crc32c(data):
+  table = _crc_table()
+  crc = np.uint32(0xFFFFFFFF)
+  arr = np.frombuffer(data, np.uint8)
+  crc_val = 0xFFFFFFFF
+  tbl = table
+  for b in arr.tobytes():
+    crc_val = (crc_val >> 8) ^ int(tbl[(crc_val ^ b) & 0xFF])
+  return crc_val ^ 0xFFFFFFFF
+
+
+def masked_crc(data):
+  crc = crc32c(data)
+  return ((crc >> 15 | crc << 17) + 0xa282ead8) & 0xFFFFFFFF
+
+
+# --- varint / proto primitives ------------------------------------------------
+
+def _write_varint(out, value):
+  while True:
+    b = value & 0x7F
+    value >>= 7
+    if value:
+      out.append(b | 0x80)
+    else:
+      out.append(b)
+      return
+
+
+def _read_varint(buf, pos):
+  result = shift = 0
+  while True:
+    b = buf[pos]
+    pos += 1
+    result |= (b & 0x7F) << shift
+    if not b & 0x80:
+      return result, pos
+    shift += 7
+
+
+def _tag(field, wire):
+  return (field << 3) | wire
+
+
+def _write_len_delimited(out, field, payload):
+  _write_varint(out, _tag(field, 2))
+  _write_varint(out, len(payload))
+  out.extend(payload)
+
+
+# --- Feature encoding ---------------------------------------------------------
+
+def bytes_feature(values):
+  """values: list of bytes -> Feature proto bytes (BytesList, field 1)."""
+  if isinstance(values, (bytes, str)):
+    values = [values]
+  inner = bytearray()
+  for v in values:
+    if isinstance(v, str):
+      v = v.encode('utf8')
+    _write_len_delimited(inner, 1, v)
+  out = bytearray()
+  _write_len_delimited(out, 1, bytes(inner))
+  return bytes(out)
+
+
+def float_feature(values):
+  """values: list of floats -> Feature proto (FloatList packed, field 2)."""
+  values = np.asarray(values, np.float32).reshape(-1)
+  inner = bytearray()
+  _write_varint(inner, _tag(1, 2))
+  payload = values.tobytes()
+  _write_varint(inner, len(payload))
+  inner.extend(payload)
+  out = bytearray()
+  _write_len_delimited(out, 2, bytes(inner))
+  return bytes(out)
+
+
+def int64_feature(values):
+  """values: list of ints -> Feature proto (Int64List packed varint)."""
+  values = np.asarray(values, np.int64).reshape(-1)
+  payload = bytearray()
+  for v in values:
+    _write_varint(payload, int(v) & 0xFFFFFFFFFFFFFFFF)
+  inner = bytearray()
+  _write_varint(inner, _tag(1, 2))
+  _write_varint(inner, len(payload))
+  inner.extend(payload)
+  out = bytearray()
+  _write_len_delimited(out, 3, bytes(inner))
+  return bytes(out)
+
+
+def encode_example(features):
+  """features: {name: encoded Feature bytes} -> Example proto bytes."""
+  fmap = bytearray()
+  for name, feat in sorted(features.items()):
+    entry = bytearray()
+    _write_len_delimited(entry, 1, name.encode('utf8'))
+    _write_len_delimited(entry, 2, feat)
+    _write_len_delimited(fmap, 1, bytes(entry))
+  out = bytearray()
+  _write_len_delimited(out, 1, bytes(fmap))
+  return bytes(out)
+
+
+def _parse_feature(buf):
+  """Feature proto bytes -> (kind, value) with kind in {bytes,float,int64}."""
+  pos = 0
+  while pos < len(buf):
+    tag, pos = _read_varint(buf, pos)
+    field, wire = tag >> 3, tag & 7
+    ln, pos = _read_varint(buf, pos)
+    payload = buf[pos:pos + ln]
+    pos += ln
+    if field == 1:   # BytesList
+      vals, p = [], 0
+      while p < len(payload):
+        t, p = _read_varint(payload, p)
+        l2, p = _read_varint(payload, p)
+        vals.append(bytes(payload[p:p + l2]))
+        p += l2
+      return 'bytes', vals
+    if field == 2:   # FloatList
+      p = 0
+      vals = []
+      while p < len(payload):
+        t, p = _read_varint(payload, p)
+        if t & 7 == 2:    # packed
+          l2, p = _read_varint(payload, p)
+          vals.append(np.frombuffer(payload[p:p + l2], np.float32))
+          p += l2
+        else:             # unpacked fixed32
+          vals.append(np.frombuffer(payload[p:p + 4], np.float32))
+          p += 4
+      return 'float', (np.concatenate(vals) if vals
+                       else np.zeros(0, np.float32))
+    if field == 3:   # Int64List
+      p = 0
+      vals = []
+      while p < len(payload):
+        t, p = _read_varint(payload, p)
+        if t & 7 == 2:
+          l2, p = _read_varint(payload, p)
+          end = p + l2
+          while p < end:
+            v, p = _read_varint(payload, p)
+            vals.append(np.int64(np.uint64(v).astype(np.int64)))
+        else:
+          v, p = _read_varint(payload, p)
+          vals.append(np.int64(np.uint64(v).astype(np.int64)))
+      return 'int64', np.array(vals, np.int64)
+  return 'bytes', []
+
+
+def decode_example(buf):
+  """Example proto bytes -> {name: value} (bytes list / float / int64 arr)."""
+  out = {}
+  pos = 0
+  buf = memoryview(buf)
+  while pos < len(buf):
+    tag, pos = _read_varint(buf, pos)
+    ln, pos = _read_varint(buf, pos)
+    if tag >> 3 == 1:  # features
+      fpos = 0
+      fbuf = buf[pos:pos + ln]
+      while fpos < len(fbuf):
+        t2, fpos = _read_varint(fbuf, fpos)
+        l2, fpos = _read_varint(fbuf, fpos)
+        entry = fbuf[fpos:fpos + l2]
+        fpos += l2
+        # Map entry: key (1), value (2).
+        epos = 0
+        key = None
+        val = None
+        while epos < len(entry):
+          t3, epos = _read_varint(entry, epos)
+          l3, epos = _read_varint(entry, epos)
+          if t3 >> 3 == 1:
+            key = bytes(entry[epos:epos + l3]).decode('utf8')
+          else:
+            val = entry[epos:epos + l3]
+          epos += l3
+        if key is not None and val is not None:
+          out[key] = _parse_feature(bytes(val))
+    pos += ln
+  return out
+
+
+# --- TFRecord files -----------------------------------------------------------
+
+class RecordWriter:
+  def __init__(self, path):
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    self._f = open(path, 'wb')
+
+  def write(self, record):
+    header = struct.pack('<Q', len(record))
+    self._f.write(header)
+    self._f.write(struct.pack('<I', masked_crc(header)))
+    self._f.write(record)
+    self._f.write(struct.pack('<I', masked_crc(record)))
+
+  def close(self):
+    self._f.close()
+
+  def __enter__(self):
+    return self
+
+  def __exit__(self, *a):
+    self.close()
+
+
+def read_records(path, verify_crc=False):
+  """Yields raw record bytes from a TFRecord file."""
+  with open(path, 'rb') as f:
+    while True:
+      header = f.read(8)
+      if len(header) < 8:
+        return
+      length = struct.unpack('<Q', header)[0]
+      lcrc = f.read(4)
+      data = f.read(length)
+      dcrc = f.read(4)
+      if len(data) < length:
+        return
+      if verify_crc:
+        if struct.unpack('<I', lcrc)[0] != masked_crc(header):
+          raise IOError('Corrupt TFRecord length CRC')
+        if struct.unpack('<I', dcrc)[0] != masked_crc(data):
+          raise IOError('Corrupt TFRecord data CRC')
+      yield data
+
+
+# --- Example list files (epos_lib/tfrecord.py:11-26) --------------------------
+
+def save_example_list(path, examples):
+  """examples: list of (scene_id, im_id) -> text lines 'scene_id im_id'."""
+  os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+  with open(path, 'w') as f:
+    for scene_id, im_id in examples:
+      f.write(f'{scene_id} {im_id}\n')
+
+
+def load_example_list(path):
+  out = []
+  with open(path, 'r') as f:
+    for line in f:
+      if line.strip():
+        s, i = line.split()
+        out.append((int(s), int(i)))
+  return out

@@ -1,0 +1,232 @@
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from epos_tpu import common
+from epos_tpu import config as config_epos
+from epos_tpu.config import Config
+from epos_tpu.data import augment, bop, records, schema
+from epos_tpu.data.dataset import Dataset
+from epos_tpu.data.pipeline import DataLoader
+from epos_tpu.data import gt_fields
+from tests import synthetic
+
+
+def test_varint_roundtrip():
+  buf = bytearray()
+  for v in [0, 1, 127, 128, 300, 2 ** 35]:
+    records._write_varint(buf, v)
+  pos = 0
+  for v in [0, 1, 127, 128, 300, 2 ** 35]:
+    got, pos = records._read_varint(buf, pos)
+    assert got == v
+
+
+def test_example_proto_roundtrip():
+  feats = {
+      'a/int': records.int64_feature([1, -2, 3]),
+      'b/float': records.float_feature([1.5, -2.25]),
+      'c/bytes': records.bytes_feature([b'hello', b'world']),
+  }
+  buf = records.encode_example(feats)
+  out = records.decode_example(buf)
+  kind, vals = out['a/int']
+  assert kind == 'int64'
+  np.testing.assert_array_equal(vals, [1, -2, 3])
+  kind, vals = out['b/float']
+  np.testing.assert_allclose(vals, [1.5, -2.25])
+  kind, vals = out['c/bytes']
+  assert vals == [b'hello', b'world']
+
+
+def test_tfrecord_file_roundtrip(tmp_path):
+  path = str(tmp_path / 'x.tfrecord')
+  recs = [b'abc', b'x' * 1000, b'']
+  with records.RecordWriter(path) as w:
+    for r in recs:
+      w.write(r)
+  got = list(records.read_records(path, verify_crc=True))
+  assert got == recs
+
+
+def test_crc32c_known_value():
+  # RFC 3720 test vector: crc32c of 32 zero bytes = 0x8A9136AA.
+  assert records.crc32c(b'\x00' * 32) == 0x8A9136AA
+
+
+def test_schema_roundtrip():
+  im = (np.random.default_rng(0).uniform(0, 255, (32, 40, 3))
+        ).astype(np.uint8)
+  K = np.array([[100.0, 0, 20], [0, 100.0, 16], [0, 0, 1]])
+  mask = np.zeros((32, 40), bool)
+  mask[4:10, 5:12] = True
+  gt = [{'obj_id': 3, 'visib_fract': 0.8,
+         'q': np.array([1.0, 0, 0, 0]), 't': np.array([1.0, 2.0, 500.0]),
+         'mask_png': schema.encode_mask_png(mask)}]
+  buf = schema.make_example(7, 42, '/x/y.png',
+                            schema.encode_image(im, '.png'), 32, 40, K, gt)
+  ex = schema.parse_example(buf)
+  assert ex['scene_id'] == 7 and ex['im_id'] == 42
+  assert ex['path'] == '/x/y.png'
+  np.testing.assert_allclose(ex['K'], K)
+  dec = schema.decode_image(ex['encoded'])
+  np.testing.assert_array_equal(dec, im)  # png lossless
+  assert ex['gt_obj_ids'].tolist() == [3]
+  np.testing.assert_allclose(ex['gt_quats'][0], [1, 0, 0, 0])
+  got_mask = schema.decode_mask_png(ex['gt_mask_pngs'][0])
+  np.testing.assert_array_equal(got_mask, mask)
+
+
+@pytest.fixture(scope='module')
+def synth_bop(tmp_path_factory):
+  """Synthetic BOP dataset + records, shared across tests."""
+  root = str(tmp_path_factory.mktemp('bop'))
+  synthetic.make_bop_dataset(root, 'synthbox', num_scenes=1, ims_per_scene=3)
+  # Point the config paths at the temp dirs.
+  old_bop, old_data = config_epos.BOP_PATH, config_epos.TF_DATA_PATH
+  config_epos.BOP_PATH = root
+  config_epos.TF_DATA_PATH = os.path.join(root, 'tf_data')
+  os.makedirs(config_epos.TF_DATA_PATH, exist_ok=True)
+
+  # Write records (create_tfrecord path).
+  sp = bop.get_split_params(root, 'synthbox', 'test')
+  from epos_tpu.ops import geometry
+  rec_path = os.path.join(config_epos.TF_DATA_PATH,
+                          'synthbox_test.tfrecord')
+  with records.RecordWriter(rec_path) as w:
+    for scene_id in [1]:
+      cam = bop.load_scene_camera(
+          sp['scene_camera_tpath'].format(scene_id=scene_id))
+      gts = bop.load_scene_gt(sp['scene_gt_tpath'].format(scene_id=scene_id))
+      infos = bop.load_json(
+          sp['scene_gt_info_tpath'].format(scene_id=scene_id),
+          keys_to_int=True)
+      for im_id in sorted(gts):
+        rgb_path = sp['rgb_tpath'].format(scene_id=scene_id, im_id=im_id)
+        import cv2
+        im = cv2.cvtColor(cv2.imread(rgb_path), cv2.COLOR_BGR2RGB)
+        gt_list = []
+        for gt_id, gt in enumerate(gts[im_id]):
+          mask_path = sp['mask_visib_tpath'].format(
+              scene_id=scene_id, im_id=im_id, gt_id=gt_id)
+          mask = cv2.imread(mask_path, cv2.IMREAD_GRAYSCALE) > 0
+          gt_list.append({
+              'obj_id': gt['obj_id'],
+              'visib_fract': infos[im_id][gt_id]['visib_fract'],
+              'q': geometry.quaternion_from_matrix(gt['cam_R_m2c']),
+              't': gt['cam_t_m2c'].flatten(),
+              'mask_png': schema.encode_mask_png(mask)})
+        w.write(schema.make_example(
+            scene_id, im_id, rgb_path, schema.encode_image(im, '.png'),
+            im.shape[0], im.shape[1], cam[im_id]['cam_K'], gt_list))
+  yield root
+  config_epos.BOP_PATH, config_epos.TF_DATA_PATH = old_bop, old_data
+
+
+def make_dataset(synth_bop, tmp=None, **kw):
+  cfg = Config(num_frags=8, gt_knn_frags=1, max_gt_instances=4)
+  defaults = dict(
+      dataset_name='synthbox', tfrecord_names=['synthbox_test'],
+      model_dir=tmp, batch_size=2, max_height_before_crop=120,
+      crop_size=(160, 120), is_training=True, return_gt_orig=True,
+      return_gt_maps=True, output_stride=4)
+  defaults.update(kw)
+  return cfg, Dataset(cfg, **defaults)
+
+
+def test_dataset_loader_end_to_end(synth_bop, tmp_path):
+  cfg, ds = make_dataset(synth_bop, str(tmp_path / 'model'))
+  loader = DataLoader(ds, batch_size=2, shuffle=False, repeat=False,
+                      num_workers=2)
+  batches = list(loader)
+  assert sum(b[common.IMAGE].shape[0] for b in batches) == 3
+  b = batches[0]
+  assert b[common.IMAGE].shape == (2, 120, 160, 3)
+  assert b[common.K].shape == (2, 3, 3)
+  oh, ow = 30, 40
+  assert b[common.GT_OBJ_LABEL].shape == (2, oh, ow)
+  assert b[common.GT_FRAG_LABEL].shape == (2, oh, ow, 1)
+  assert b[common.GT_FRAG_LOC].shape == (2, oh, ow, 1, 3)
+  assert b[common.GT_OBJ_MASKS].shape == (2, 4, oh, ow)
+  assert b[common.GT_NUM].max() <= 4
+  # Labels: background 0 plus object ids 1..2.
+  labels = set(np.unique(b[common.GT_OBJ_LABEL]))
+  assert labels <= {0, 1, 2}
+  assert len(labels) > 1
+
+
+def test_dataset_gt_oracle(synth_bop, tmp_path):
+  """Reprojection oracle over the full record->parse->GT-field path."""
+  cfg, ds = make_dataset(synth_bop, str(tmp_path / 'model'))
+  rec = next(iter(records.read_records(ds.record_files()[0])))
+  sample = ds.parse_and_preprocess(rec, np.random.default_rng(0))
+  n = int(sample[common.GT_NUM])
+  assert n >= 1
+  oK = sample[common.K].copy()
+  oK[:2] /= 4  # output-stride K
+  err = gt_fields.check_gt_frag_reprojection(
+      sample[common.GT_FRAG_LABEL], sample[common.GT_FRAG_LOC], None, oK,
+      sample[common.GT_OBJ_IDS][:n], sample[common.GT_OBJ_QUATS][:n],
+      sample[common.GT_OBJ_TRANS][:n],
+      {i: c for i, c in zip(ds.model_store.dp_model['obj_ids'],
+                            [ds.model_store.frag_centers[o]
+                             for o in ds.model_store.dp_model['obj_ids']])},
+      {i: s for i, s in zip(ds.model_store.dp_model['obj_ids'],
+                            [ds.model_store.frag_sizes[o]
+                             for o in ds.model_store.dp_model['obj_ids']])},
+      sample[common.GT_OBJ_MASKS][:n])
+  assert err < 1.0, f'mean reprojection err {err}px'
+
+
+def test_fragments_cache(synth_bop, tmp_path):
+  model_dir = str(tmp_path / 'model')
+  cfg, ds1 = make_dataset(synth_bop, model_dir)
+  assert os.path.exists(os.path.join(model_dir, 'fragments.pkl'))
+  # Second construction loads the cache (and validates shape).
+  cfg, ds2 = make_dataset(synth_bop, model_dir)
+  for o in ds1.model_store.frag_centers:
+    np.testing.assert_allclose(ds1.model_store.frag_centers[o],
+                               ds2.model_store.frag_centers[o])
+
+
+def test_augmentations_shapes_and_range():
+  rng = jax.random.PRNGKey(0)
+  im = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, 16, 16, 3)),
+                   jnp.float32)
+  cfgs = {
+      'random_adjust_brightness': {'min_delta': -0.2, 'max_delta': 0.2},
+      'random_adjust_contrast': {'min_delta': -0.3, 'max_delta': 0.3},
+      'random_adjust_saturation': {'min_delta': -0.3, 'max_delta': 0.3},
+      'random_adjust_hue': {'max_delta': 0.05},
+      'random_blur': {'max_sigma': 2.0},
+      'random_gaussian_noise': {'max_sigma': 0.05},
+  }
+  out = augment.augment_batch(rng, im * 255.0, cfgs)
+  assert out.shape == im.shape
+  assert float(out.min()) >= 0 and float(out.max()) <= 255.0
+  # Changed the image.
+  assert not np.allclose(np.asarray(out), np.asarray(im * 255))
+  # Jit + determinism.
+  f = jax.jit(lambda r, x: augment.augment_batch(r, x, cfgs))
+  o1 = f(rng, im * 255)
+  o2 = f(rng, im * 255)
+  np.testing.assert_allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_hue_roundtrip():
+  im = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (8, 8, 3)),
+                   jnp.float32)
+  hsv = augment._rgb_to_hsv(im)
+  back = augment._hsv_to_rgb(hsv)
+  np.testing.assert_allclose(np.asarray(back), np.asarray(im), atol=1e-5)
+
+
+def test_blur_zero_sigma_identity():
+  im = jnp.asarray(np.random.default_rng(2).uniform(0, 1, (8, 8, 3)),
+                   jnp.float32)
+  k = augment._gaussian_kernel(jnp.asarray(0.0))
+  np.testing.assert_allclose(np.asarray(k[4]), 1.0)
+  assert float(jnp.sum(k)) == pytest.approx(1.0)
