@@ -1,0 +1,166 @@
+"""Fused on-device inference engine: CNN -> correspondences -> poses.
+
+The reference pipeline round-trips to host between stages (sess.run ->
+numpy corresp -> C++ RANSAC; scripts/infer.py:348-554). Here the entire
+per-image estimation — forward pass, correspondence extraction, and
+multi-instance RANSAC over every object — is ONE jitted function: a single
+dispatch, no host synchronization until the final pose tensors are read.
+
+Stage timings mirror the reference's run_times dict (prediction /
+establish_corr / fitting / total, infer.py:369-374): in fused mode the
+breakdown is attributed to 'total' only; with time_stages=True the three
+stages run as separate jitted calls for comparable per-stage numbers.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from epos_tpu import common
+from epos_tpu.models import epos_model
+from epos_tpu.ops import corresp as corresp_lib
+from epos_tpu.ops import ransac
+
+
+class InferenceEngine:
+  """Builds and runs the jitted image -> poses path."""
+
+  def __init__(self, cfg, model, variables, model_store, num_objs,
+               crop_size=None, time_stages=False):
+    self.cfg = cfg
+    self.model = model
+    self.variables = variables
+    self.num_objs = num_objs
+    self.time_stages = time_stages
+    crop_w, crop_h = crop_size or cfg.infer_crop_size
+    stride = (min(cfg.decoder_output_stride)
+              if cfg.decoder_output_stride else cfg.encoder_output_stride)
+    self.output_scale = 1.0 / stride
+    oh, ow = epos_model.output_size((crop_w, crop_h), stride)
+    self.npx = oh * ow
+    centers, sizes = model_store.frag_arrays(num_objs)
+    self.frag_centers = jnp.asarray(centers)
+    self.frag_sizes = jnp.asarray(sizes)
+    self.max_instances = max(1, cfg.max_instances_to_fit or
+                             cfg.max_gt_instances)
+
+    cfg_f = dict(
+        capacity=cfg.max_corrs_per_obj
+        if cfg.max_correspondences is None
+        else min(cfg.max_corrs_per_obj, cfg.max_correspondences),
+        min_obj_conf=cfg.corr_min_obj_conf,
+        min_frag_rel_conf=cfg.corr_min_frag_rel_conf)
+    fit_kw = dict(
+        num_hypotheses=cfg.max_fitting_iterations,
+        inlier_thresh=cfg.inlier_thresh,
+        max_instances=self.max_instances,
+        min_quality=cfg.min_hypothesis_quality,
+        use_prosac=cfg.use_prosac)
+
+    def predict_fn(variables, images):
+      # Weights as arguments: closure capture embeds them as program
+      # constants, inflating compile time/cache size drastically.
+      return epos_model.predict(
+          self.model, variables, images,
+          image_pyramid=cfg.image_pyramid, merge_method=cfg.merge_method)
+
+    def corresp_fn(preds, obj_enable):
+      return corresp_lib.establish_many_to_many(
+          preds[common.PRED_OBJ_CONF][0], preds[common.PRED_FRAG_CONF][0],
+          preds[common.PRED_FRAG_LOC][0], self.frag_centers,
+          self.frag_sizes, self.output_scale,
+          obj_mask_enable=obj_enable, **cfg_f)
+
+    def fit_fn(corrs, K, instance_counts, rng):
+      return ransac.fit_all_objects(
+          corrs, K, self.npx, rng, instance_counts, **fit_kw)
+
+    def full(variables, images, K, obj_enable, instance_counts, rng):
+      preds = predict_fn(variables, images)
+      corrs = corresp_fn(preds, obj_enable)
+      fits = fit_fn(corrs, K, instance_counts, rng)
+      return preds, corrs, fits
+
+    self._jit_predict = jax.jit(predict_fn)
+    self._jit_corresp = jax.jit(corresp_fn)
+    self._jit_fit = jax.jit(fit_fn)
+    self._jit_full = jax.jit(full)
+
+  def process_image(self, sample, task_type=None, rng=None):
+    """Estimates poses for one sample (batch of 1).
+
+    Returns (poses list of dicts, run_times dict) — the reference's
+    process_image contract (infer.py:348-554).
+    """
+    cfg = self.cfg
+    task_type = task_type or cfg.task_type
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    run_times = {}
+
+    images = jnp.asarray(sample[common.IMAGE])
+    if images.ndim == 3:
+      images = images[None]
+    K = jnp.asarray(sample[common.K], jnp.float32)
+    if K.ndim == 3:
+      K = K[0]
+
+    # Which objects / how many instances (infer.py:462-466).
+    if task_type == common.LOCALIZATION:
+      n = int(np.asarray(sample[common.GT_NUM]).reshape(-1)[0])
+      gt_ids = np.asarray(sample[common.GT_OBJ_IDS]).reshape(-1)[:n]
+      counts = np.zeros(self.num_objs, np.int32)
+      for oid in gt_ids:
+        if 1 <= oid <= self.num_objs:
+          counts[oid - 1] += 1
+      obj_enable = counts > 0
+    else:
+      counts = np.full(self.num_objs, self.max_instances, np.int32)
+      obj_enable = np.ones(self.num_objs, bool)
+    if cfg.max_instances_to_fit is not None:
+      counts = np.minimum(counts, cfg.max_instances_to_fit)
+
+    counts_j = jnp.asarray(counts)
+    enable_j = jnp.asarray(obj_enable)
+
+    if self.time_stages:
+      t0 = time.time()
+      preds = jax.block_until_ready(
+          self._jit_predict(self.variables, images))
+      run_times['prediction'] = time.time() - t0
+      t0 = time.time()
+      corrs = jax.block_until_ready(self._jit_corresp(preds, enable_j))
+      run_times['establish_corr'] = time.time() - t0
+      t0 = time.time()
+      fits = jax.block_until_ready(self._jit_fit(corrs, K, counts_j, rng))
+      run_times['fitting'] = time.time() - t0
+      run_times['total'] = sum(run_times.values())
+    else:
+      t0 = time.time()
+      preds, corrs, fits = jax.block_until_ready(
+          self._jit_full(self.variables, images, K, enable_j, counts_j,
+                         rng))
+      run_times['prediction'] = 0.0
+      run_times['establish_corr'] = 0.0
+      run_times['fitting'] = 0.0
+      run_times['total'] = time.time() - t0
+
+    scene_id = int(np.asarray(sample[common.SCENE_ID]).reshape(-1)[0])
+    im_id = int(np.asarray(sample[common.IM_ID]).reshape(-1)[0])
+
+    poses = []
+    valid = np.asarray(fits.valid)
+    R_all = np.asarray(fits.R)
+    t_all = np.asarray(fits.t)
+    q_all = np.asarray(fits.quality)
+    for o in range(self.num_objs):
+      for i in range(self.max_instances):
+        if valid[o, i]:
+          poses.append({
+              'scene_id': scene_id, 'im_id': im_id, 'obj_id': o + 1,
+              'R': R_all[o, i], 't': t_all[o, i].reshape(3, 1),
+              'score': float(q_all[o, i]),
+              'time': run_times['total'],
+          })
+    return poses, run_times, (preds, corrs, fits)

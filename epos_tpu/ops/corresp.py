@@ -42,7 +42,7 @@ class Correspondences(NamedTuple):
 def establish_many_to_many(obj_confs, frag_confs, frag_coords, frag_centers,
                            frag_sizes, output_scale, capacity=2048,
                            min_obj_conf=0.1, min_frag_rel_conf=0.5,
-                           obj_mask_enable=None):
+                           obj_mask_enable=None, frags_per_pixel=4):
   """Extracts correspondences for every object in one fused device pass.
 
   Args:
@@ -70,6 +70,13 @@ def establish_many_to_many(obj_confs, frag_confs, frag_coords, frag_centers,
   xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / output_scale
   px_flat = jnp.arange(h * w, dtype=jnp.int32)
 
+  # Selection is two-stage for TPU efficiency: a single top_k over the full
+  # [h*w*F] score array is O(n log n)-ish over 1.2M elements per object;
+  # instead take the top `frags_per_pixel` fragments per pixel first (the
+  # relative threshold tau_b rarely passes more — it requires conf above
+  # half the per-pixel max), then top-K over the [h*w * T] survivors.
+  T = min(frags_per_pixel, num_frags)
+
   def per_object(o):
     obj_conf = obj_confs[:, :, o + 1]                 # [h, w]
     obj_ok = (obj_conf > min_obj_conf) & obj_mask_enable[o]
@@ -80,12 +87,15 @@ def establish_many_to_many(obj_confs, frag_confs, frag_coords, frag_centers,
 
     conf_frag = fconf
     conf = obj_conf[..., None] * conf_frag            # [h, w, F]
-    score = jnp.where(ok, conf, 0.0).reshape(-1)      # [h*w*F]
+    score = jnp.where(ok, conf, 0.0)                  # [h, w, F]
 
-    top_conf, top_idx = jax.lax.top_k(score, capacity)
+    # Stage 1: top-T fragments per pixel.
+    s1_conf, s1_frag = jax.lax.top_k(score, T)        # [h, w, T]
+    # Stage 2: top-K over all (pixel, slot) survivors.
+    top_conf, flat_idx = jax.lax.top_k(s1_conf.reshape(-1), capacity)
     valid = top_conf > 0.0
-    pix = (top_idx // num_frags).astype(jnp.int32)
-    frag = (top_idx % num_frags).astype(jnp.int32)
+    pix = (flat_idx // T).astype(jnp.int32)
+    frag = s1_frag.reshape(-1)[flat_idx].astype(jnp.int32)
     yy = pix // w
     xx = pix % w
 

@@ -18,6 +18,26 @@ import jax.numpy as jnp
 _EPS = 1e-9
 
 
+def mat3_apply(R, pts):
+  """R [..., 3, 3] applied to pts [n, 3] -> [..., n, 3], unrolled.
+
+  TPU note: expressing this as dot_general (pts @ R.T) pads the size-3
+  contraction onto the 128x128 MXU — measured ~500x slower than the
+  unrolled elementwise form for large hypothesis batches.
+  """
+  x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+  out = []
+  for i in range(3):
+    out.append(R[..., i, 0:1] * x + R[..., i, 1:2] * y + R[..., i, 2:3] * z)
+  return jnp.stack(out, axis=-1)
+
+
+def mat_small_apply(A, x):
+  """A [..., m, k] @ x [..., k] -> [..., m] for tiny m, k (unrolled)."""
+  k = A.shape[-1]
+  return sum(A[..., :, i] * x[..., i][..., None] for i in range(k))
+
+
 def _control_points(pts, w):
   """Weighted PCA control points. pts [n,3], w [n] -> (ctrl [4,3], c0, axes)."""
   wsum = jnp.maximum(jnp.sum(w), _EPS)
@@ -33,7 +53,11 @@ def _control_points(pts, w):
 
 def _alphas(pts, c0, eigvec, s):
   """Barycentric coords wrt control points: [n, 4] summing to 1."""
-  proj = (pts - c0) @ eigvec / s[None, :]        # [n, 3]
+  d = pts - c0
+  # (pts - c0) @ eigvec, unrolled (size-3 contraction; see mat3_apply note).
+  proj = jnp.stack(
+      [d[:, 0] * eigvec[0, i] + d[:, 1] * eigvec[1, i] +
+       d[:, 2] * eigvec[2, i] for i in range(3)], axis=1) / s[None, :]
   a0 = 1.0 - jnp.sum(proj, axis=1)
   return jnp.concatenate([a0[:, None], proj], axis=1)
 
@@ -86,6 +110,28 @@ def _gauss_newton_betas(V, dist_w_sq, beta0, iters=5):
   return jax.lax.fori_loop(0, iters, body, beta0)
 
 
+def _smallest_eigvec_inviter(A, iters=12, shift=1e-6):
+  """Smallest eigenvector of a PSD matrix by Cholesky inverse iteration.
+
+  TPU-friendly replacement for eigh on tiny (12x12) matrices: eigh lowers to
+  a slow iterative QR routine, while Cholesky + triangular solves vectorize
+  cleanly across large hypothesis batches.
+  """
+  n = A.shape[-1]
+  Ash = A + shift * jnp.trace(A)[..., None, None] * jnp.eye(n) / n
+  L = jax.lax.linalg.cholesky(Ash)
+  x0 = jnp.ones(A.shape[:-2] + (n,), A.dtype) / jnp.sqrt(float(n))
+
+  def body(_, x):
+    y = jax.lax.linalg.triangular_solve(
+        L, x[..., None], left_side=True, lower=True)
+    y = jax.lax.linalg.triangular_solve(
+        L, y, left_side=True, lower=True, transpose_a=True)[..., 0]
+    return y / jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), _EPS)
+
+  return jax.lax.fori_loop(0, iters, body, x0)
+
+
 def _kabsch(src, dst, w):
   """Weighted rigid alignment src -> dst. Returns (R, t)."""
   wsum = jnp.maximum(jnp.sum(w), _EPS)
@@ -116,23 +162,33 @@ def solve_epnp(pts3d, uv, K, weights, gn_iters=5, num_basis=4):
   alphas = _alphas(pts3d, c0, eigvec, s)
   M = _build_M(alphas, uv, K, w)
   MtM = M.T @ M
-  eigval, eigvecs = jnp.linalg.eigh(MtM)          # ascending
-  V = eigvecs[:, :num_basis]                      # [12, nb] smallest first
-
   _, dw2 = _ctrl_dists(ctrl_w)
 
-  # N=1 closed-form scale for the smallest eigenvector.
-  v1 = V[:, 0].reshape(4, 3)
-  dv1, dc2 = _ctrl_dists(v1)
-  num = jnp.sum(jnp.sqrt(dc2) * jnp.sqrt(dw2))
-  den = jnp.maximum(jnp.sum(dc2), _EPS)
-  beta0 = jnp.zeros((num_basis,)).at[0].set(num / den)
+  if num_basis == 1:
+    # Fast path for minimal RANSAC samples: smallest eigenvector via
+    # Cholesky inverse iteration (no eigh), N=1 closed-form scale.
+    v1 = _smallest_eigvec_inviter(MtM).reshape(4, 3)
+    dv1, dc2 = _ctrl_dists(v1)
+    num = jnp.sum(jnp.sqrt(dc2) * jnp.sqrt(dw2))
+    den = jnp.maximum(jnp.sum(dc2), _EPS)
+    ctrl_c = (num / den) * v1
+  else:
+    eigval, eigvecs = jnp.linalg.eigh(MtM)          # ascending
+    V = eigvecs[:, :num_basis]                      # [12, nb] smallest first
 
-  beta = _gauss_newton_betas(V, dw2, beta0, iters=gn_iters)
+    # N=1 closed-form scale for the smallest eigenvector.
+    v1 = V[:, 0].reshape(4, 3)
+    dv1, dc2 = _ctrl_dists(v1)
+    num = jnp.sum(jnp.sqrt(dc2) * jnp.sqrt(dw2))
+    den = jnp.maximum(jnp.sum(dc2), _EPS)
+    beta0 = jnp.zeros((num_basis,)).at[0].set(num / den)
 
-  ctrl_c = jnp.einsum('b,bk->k', beta, V.T).reshape(4, 3)
+    beta = _gauss_newton_betas(V, dw2, beta0, iters=gn_iters)
+    ctrl_c = jnp.einsum('b,bk->k', beta, V.T).reshape(4, 3)
+
   # Cheirality: weighted mean z of reconstructed camera points must be > 0.
-  cam_pts = alphas @ ctrl_c
+  # alphas @ ctrl_c unrolled (size-4 contraction).
+  cam_pts = sum(alphas[:, i:i + 1] * ctrl_c[i] for i in range(4))
   mean_z = jnp.sum(cam_pts[:, 2] * w) / jnp.maximum(jnp.sum(w), _EPS)
   flip = jnp.where(mean_z < 0, -1.0, 1.0)
   cam_pts = cam_pts * flip
@@ -141,11 +197,15 @@ def solve_epnp(pts3d, uv, K, weights, gn_iters=5, num_basis=4):
 
 
 def reprojection_errors(pts3d, uv, K, R, t):
-  """Per-point reprojection error [n] in pixels."""
-  cam = pts3d @ R.T + t
-  z = jnp.maximum(cam[:, 2], 1e-6)
-  u = K[0, 0] * cam[:, 0] / z + K[0, 2]
-  v = K[1, 1] * cam[:, 1] / z + K[1, 2]
-  behind = cam[:, 2] <= 1e-6
-  err = jnp.sqrt((u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2)
+  """Per-point reprojection error [..., n] in pixels.
+
+  R may carry leading batch dims ([..., 3, 3], t [..., 3]); the transform is
+  unrolled elementwise (see mat3_apply note).
+  """
+  cam = mat3_apply(R, pts3d) + t[..., None, :]
+  z = jnp.maximum(cam[..., 2], 1e-6)
+  u = K[0, 0] * cam[..., 0] / z + K[0, 2]
+  v = K[1, 1] * cam[..., 1] / z + K[1, 2]
+  behind = cam[..., 2] <= 1e-6
+  err = jnp.sqrt((u - uv[..., 0]) ** 2 + (v - uv[..., 1]) ** 2)
   return jnp.where(behind, 1e9, err)

@@ -84,7 +84,9 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
     uv_h = coord_2d[idx]             # [H, 6, 2]
     w_h = avail_f[idx]               # [H, 6] zero if an unavailable slipped in
 
-    solve = jax.vmap(lambda p, u, w: epnp.solve_epnp(p, u, K, w))
+    # num_basis=1: eigh-free fast path for the large hypothesis batch.
+    solve = jax.vmap(
+        lambda p, u, w: epnp.solve_epnp(p, u, K, w, num_basis=1))
     R_h, t_h = solve(pts_h, uv_h, w_h)
 
     errs = jax.vmap(

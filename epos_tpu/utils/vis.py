@@ -1,0 +1,125 @@
+"""Visualization suite (mirror of epos_lib/vis.py).
+
+Colormaps, tile grids, label/XYZ colorization, pose-rendering overlays and
+fragment-field visualization. Host-side numpy + the thread-safe rasterizer.
+"""
+
+import os
+
+import numpy as np
+
+from epos_tpu.ops import geometry
+
+
+def ade20k_colormap(n=256):
+  """Deterministic label colormap (vis.py:18-50 uses the ADE20K map; this
+  reproduces its bit-shuffle construction)."""
+  cmap = np.zeros((n, 3), np.uint8)
+  for i in range(n):
+    r = g = b = 0
+    c = i
+    for j in range(8):
+      r |= ((c >> 0) & 1) << (7 - j)
+      g |= ((c >> 1) & 1) << (7 - j)
+      b |= ((c >> 2) & 1) << (7 - j)
+      c >>= 3
+    cmap[i] = [r, g, b]
+  cmap[0] = [0, 0, 0]
+  return cmap
+
+
+def colorize_label_map(label_map, cmap=None):
+  """[h, w] int labels -> [h, w, 3] uint8 (vis.py:79-92)."""
+  if cmap is None:
+    cmap = ade20k_colormap()
+  return cmap[np.clip(label_map, 0, len(cmap) - 1)]
+
+
+def colorize_xyz(xyz, extent=None):
+  """Object-local XYZ -> RGB in [0, 255] (vis.py:95-108)."""
+  if extent is None:
+    extent = np.abs(xyz).max() + 1e-9
+  return np.clip((xyz / extent + 1.0) * 127.5, 0, 255).astype(np.uint8)
+
+
+def build_grid(tiles, tile_size=None, cols=None):
+  """Tiles a list of HxWx3 images into one grid image (vis.py:53-76)."""
+  import cv2
+  if not tiles:
+    return np.zeros((1, 1, 3), np.uint8)
+  if tile_size is not None:
+    tiles = [cv2.resize(t, tile_size) for t in tiles]
+  h, w = tiles[0].shape[:2]
+  n = len(tiles)
+  if cols is None:
+    cols = int(np.ceil(np.sqrt(n)))
+  rows = int(np.ceil(n / cols))
+  grid = np.zeros((rows * h, cols * w, 3), np.uint8)
+  for i, t in enumerate(tiles):
+    r, c = divmod(i, cols)
+    if t.ndim == 2:
+      t = np.stack([t] * 3, -1)
+    grid[r * h:(r + 1) * h, c * w:(c + 1) * w] = t
+  return grid
+
+
+def draw_frame(im, K, R, t, length=50.0, thickness=2):
+  """Draws the object coordinate frame (vis.py:111-138)."""
+  import cv2
+  im = im.copy()
+  pts = np.array([[0, 0, 0], [length, 0, 0], [0, length, 0], [0, 0, length]],
+                 np.float64)
+  uv = geometry.project_pts(pts, K, R, t).astype(int)
+  colors = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+  for i, c in enumerate(colors):
+    cv2.line(im, tuple(uv[0]), tuple(uv[i + 1]), c, thickness)
+  return im
+
+
+def render_pose_overlay(im, renderer, obj_id, K, R, t, alpha=0.7):
+  """Blends a rendered pose over the image: 0.3*im + 0.7*render on the
+  silhouette (vis.py:141-176)."""
+  renderer.render_object(obj_id, np.asarray(R).flatten(),
+                         np.asarray(t).flatten(),
+                         K[0, 0], K[1, 1], K[0, 2], K[1, 2])
+  color = renderer.get_color_image(obj_id)
+  depth = renderer.get_depth_image(obj_id)
+  import cv2
+  if color.shape[:2] != im.shape[:2]:
+    color = cv2.resize(color, (im.shape[1], im.shape[0]),
+                       interpolation=cv2.INTER_NEAREST)
+    depth = cv2.resize(depth, (im.shape[1], im.shape[0]),
+                       interpolation=cv2.INTER_NEAREST)
+  mask = depth > 0
+  out = im.copy().astype(np.float32)
+  out[mask] = (1 - alpha) * out[mask] + alpha * color[mask].astype(np.float32)
+  return out.astype(np.uint8)
+
+
+def visualize_frag_fields(frag_ids, frag_coords, obj_label, frag_centers,
+                          frag_sizes, num_frags):
+  """GT/pred fragment-field visualization: fragment label colors + the
+  reconstructed XYZ = center + size * offset (vis.py:179-319)."""
+  h, w = frag_ids.shape[:2]
+  cmap = ade20k_colormap(max(num_frags + 1, 256))
+  label_vis = cmap[np.clip(frag_ids[..., 0] + 1, 0, 255)]
+  label_vis[obj_label == 0] = 0
+
+  xyz = np.zeros((h, w, 3), np.float32)
+  for obj_id in np.unique(obj_label):
+    if obj_id == 0 or obj_id == 255 or obj_id not in frag_centers:
+      continue
+    m = obj_label == obj_id
+    ids = frag_ids[m][:, 0]
+    xyz[m] = (frag_centers[obj_id][ids] +
+              frag_coords[m][:, 0] * frag_sizes[obj_id][ids][:, None])
+  xyz_vis = colorize_xyz(xyz)
+  xyz_vis[obj_label == 0] = 0
+  return label_vis, xyz_vis
+
+
+def save_image(path, im):
+  import cv2
+  os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+  cv2.imwrite(path, cv2.cvtColor(np.asarray(im, np.uint8),
+                                 cv2.COLOR_RGB2BGR))

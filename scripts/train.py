@@ -1,0 +1,138 @@
+#!/usr/bin/env python3
+"""Training driver — CLI-compatible with the reference scripts/train.py.
+
+TPU-native execution model: one jitted step over a jax.sharding.Mesh (data
+parallel over all devices; XLA all-reduces gradients over ICI), device-side
+photometric augmentation, Orbax checkpoints with warm-start exclusions.
+
+Flags mirror the reference (model/params.yml overlay wins over CLI).
+"""
+
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from epos_tpu import common, config as config_epos
+from epos_tpu.config import config_from_args
+from epos_tpu.data import augment
+from epos_tpu.data.dataset import Dataset
+from epos_tpu.data.pipeline import DataLoader
+from epos_tpu.parallel import mesh as mesh_lib
+from epos_tpu.train import checkpoints, trainer
+
+logging.basicConfig(level=logging.INFO, format='%(asctime)s %(message)s')
+log = logging.getLogger('train')
+
+
+def main(args=None):
+  cfg = config_from_args(args, 'EPOS-TPU training')
+  model_dir = cfg.model_dir
+  if model_dir is None:
+    raise ValueError('--model is required')
+  os.makedirs(model_dir, exist_ok=True)
+
+  crop_w, crop_h = cfg.train_crop_size
+  stride = min(cfg.decoder_output_stride) if cfg.decoder_output_stride else \
+      cfg.encoder_output_stride
+
+  dataset = Dataset(
+      cfg, cfg.dataset, cfg.train_tfrecord_names, model_dir,
+      batch_size=cfg.train_batch_size,
+      max_height_before_crop=cfg.train_max_height_before_crop,
+      crop_size=(crop_w, crop_h), is_training=True,
+      return_gt_orig=False, return_gt_maps=True, output_stride=stride)
+  num_objs = dataset.num_objs
+  log.info('Dataset %s: %d objects, %d fragments', cfg.dataset, num_objs,
+           cfg.num_frags)
+
+  mesh = mesh_lib.create_mesh(cfg.mesh_shape)
+  n_dev = int(np.prod(mesh.devices.shape))
+  global_batch = cfg.train_batch_size
+  if global_batch % n_dev != 0:
+    # Per-clone batch semantics (reference splits per clone,
+    # train.py:450-453): scale to a multiple of the device count.
+    global_batch = max(global_batch, n_dev)
+    log.info('Scaling global batch to %d for %d devices', global_batch, n_dev)
+
+  loader = DataLoader(dataset, batch_size=global_batch, shuffle=True,
+                      repeat=True, num_workers=cfg.num_pipeline_workers)
+
+  rng = jax.random.PRNGKey(0)
+  state = trainer.create_train_state(
+      cfg, num_objs, rng, jnp.zeros((1, crop_h, crop_w, 3), jnp.float32))
+  n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+  log.info('Model %s: %.1fM params', cfg.model_variant, n_params / 1e6)
+
+  # Resume or warm start (train.py:502, train_utils.py:31-81).
+  ckpt_dir = os.path.join(model_dir, 'checkpoints')
+  restored = checkpoints.restore_checkpoint(ckpt_dir, state)
+  if restored is not None:
+    state = restored
+    log.info('Resumed from step %d', int(state.step))
+  elif cfg.initial_checkpoint:
+    init_dir = os.path.join(config_epos.TF_MODELS_PATH,
+                            cfg.initial_checkpoint)
+    state = checkpoints.warm_start(
+        state, init_dir, model_dir,
+        initialize_last_layer=cfg.initialize_last_layer,
+        logits_only=cfg.last_layers_contain_logits_only)
+    log.info('Warm-started from %s', init_dir)
+
+  step_fn = trainer.make_jitted_train_step(cfg, num_objs, mesh)
+  aug_fn = jax.jit(lambda r, im: augment.augment_batch(
+      r, im, cfg.data_augmentations))
+
+  from epos_tpu.utils.summary import SummaryWriter
+  writer = SummaryWriter(os.path.join(model_dir, 'tb'))
+
+  log.info('Training for %d steps (batch %d over %d devices)',
+           cfg.train_steps, global_batch, n_dev)
+  t_last = time.time()
+  steps_done = int(state.step)
+  data_iter = iter(loader)
+  while steps_done < cfg.train_steps:
+    batch = next(data_iter)
+    batch.pop(common.IMAGE_PATH, None)
+    batch = {k: v for k, v in batch.items()
+             if k in (common.IMAGE, common.GT_OBJ_LABEL,
+                      common.GT_FRAG_LABEL, common.GT_FRAG_LOC,
+                      common.GT_FRAG_WEIGHT)}
+    if cfg.data_augmentations:
+      akey = jax.random.fold_in(jax.random.PRNGKey(1), steps_done)
+      batch[common.IMAGE] = aug_fn(akey, jnp.asarray(batch[common.IMAGE]))
+    batch = mesh_lib.shard_batch(batch, mesh)
+    state, metrics = step_fn(state, batch, rng)
+    steps_done += 1
+
+    if steps_done % cfg.log_steps == 0:
+      dt = time.time() - t_last
+      t_last = time.time()
+      m = {k: float(v) for k, v in metrics.items()}
+      log.info('step %d: total=%.4f obj=%.4f frag=%.4f loc=%.4f '
+               'lr=%.2e (%.2f s/step)', steps_done, m['total_loss'],
+               m['obj_cls_loss'], m['frag_cls_loss'], m['frag_loc_loss'],
+               m['learning_rate'], dt / cfg.log_steps)
+      if not np.isfinite(m['total_loss']):
+        raise FloatingPointError(  # tf.check_numerics parity (train.py:281)
+            f'Non-finite loss at step {steps_done}: {m}')
+    if steps_done % cfg.save_summaries_steps == 0:
+      writer.scalars(steps_done, {k: float(v) for k, v in metrics.items()})
+    if steps_done % cfg.save_interval_steps == 0 or \
+          steps_done >= cfg.train_steps:
+      checkpoints.save_checkpoint(ckpt_dir, state,
+                                  cfg.max_checkpoints_to_keep)
+      log.info('Saved checkpoint at step %d', steps_done)
+
+  writer.close()
+  log.info('Training complete at step %d.', steps_done)
+
+
+if __name__ == '__main__':
+  main()

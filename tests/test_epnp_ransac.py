@@ -127,7 +127,7 @@ def test_corresp_matches_reference_semantics():
   got = corresp_lib.establish_many_to_many(
       jnp.asarray(obj_confs), jnp.asarray(frag_confs),
       jnp.asarray(frag_coords), jnp.asarray(centers), jnp.asarray(sizes),
-      output_scale=0.25, capacity=h * w * F)
+      output_scale=0.25, capacity=h * w * F, frags_per_pixel=F)
   want = _np_establish(obj_confs, frag_confs, frag_coords, centers, sizes,
                        0.25, 0.1, 0.5)
 
