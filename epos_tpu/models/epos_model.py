@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from epos_tpu import common
+from epos_tpu.models import mobilenet as mobilenet_lib
 from epos_tpu.models import resnet as resnet_lib
 from epos_tpu.models import xception as xception_lib
 from epos_tpu.models.layers import (
@@ -30,7 +31,8 @@ from epos_tpu.models.layers import (
     scale_dimension)
 
 
-def _backbone(variant, output_stride, multi_grid, dtype):
+def _backbone(variant, output_stride, multi_grid, dtype,
+              depth_multiplier=1.0, divisible_by=None):
   if variant.startswith('xception'):
     return xception_lib.Xception(
         variant=variant, output_stride=output_stride, multi_grid=multi_grid,
@@ -39,12 +41,19 @@ def _backbone(variant, output_stride, multi_grid, dtype):
     return resnet_lib.ResNetV1(
         variant=variant, output_stride=output_stride, multi_grid=multi_grid,
         dtype=dtype, name=variant)
+  if variant == 'mobilenet_v2':
+    return mobilenet_lib.MobileNetV2(
+        variant=variant, output_stride=output_stride,
+        depth_multiplier=depth_multiplier, divisible_by=divisible_by,
+        dtype=dtype, name=variant)
   raise ValueError(f'Unsupported model variant: {variant}')
 
 
 def _decoder_endpoint(variant):
   if variant.startswith('xception'):
     return xception_lib.DECODER_ENDPOINT[variant]
+  if variant == 'mobilenet_v2':
+    return mobilenet_lib.DECODER_ENDPOINT[variant]
   return resnet_lib.DECODER_ENDPOINT[variant]
 
 
@@ -63,6 +72,8 @@ class EposNet(nn.Module):
   frag_cls_agnostic: bool = False
   frag_loc_agnostic: bool = False
   fine_tune_batch_norm: bool = True
+  depth_multiplier: float = 1.0
+  divisible_by: Optional[int] = None
   dtype: jnp.dtype = jnp.float32
 
   @nn.compact
@@ -76,7 +87,7 @@ class EposNet(nn.Module):
     x = preprocess_image(images, self.model_variant, self.dtype)
     features, endpoints = _backbone(
         self.model_variant, self.encoder_output_stride, self.multi_grid,
-        self.dtype)(x, bn_train)
+        self.dtype, self.depth_multiplier, self.divisible_by)(x, bn_train)
 
     # --- ASPP (model.py:187-265) ---
     depth = 256
@@ -160,6 +171,8 @@ def build_model(cfg, num_objs, dtype=None):
       frag_cls_agnostic=cfg.frag_cls_agnostic,
       frag_loc_agnostic=cfg.frag_loc_agnostic,
       fine_tune_batch_norm=cfg.fine_tune_batch_norm,
+      depth_multiplier=cfg.depth_multiplier,
+      divisible_by=cfg.divisible_by,
       dtype=dtype)
 
 

@@ -110,16 +110,23 @@ def _gauss_newton_betas(V, dist_w_sq, beta0, iters=5):
   return jax.lax.fori_loop(0, iters, body, beta0)
 
 
-def _smallest_eigvec_inviter(A, iters=12, shift=1e-6):
-  """Smallest eigenvector of a PSD matrix by Cholesky inverse iteration.
-
-  TPU-friendly replacement for eigh on tiny (12x12) matrices: eigh lowers to
-  a slow iterative QR routine, while Cholesky + triangular solves vectorize
-  cleanly across large hypothesis batches.
-  """
+def _matvec_unrolled(A, x):
+  """A [..., n, n] @ x [..., n] with the contraction unrolled: pure
+  fused-multiply-adds, batches cleanly on the VPU (vs dot_general padding
+  tiny dims onto the MXU, or lax.linalg solves that serialize)."""
   n = A.shape[-1]
-  Ash = A + shift * jnp.trace(A)[..., None, None] * jnp.eye(n) / n
-  L = jax.lax.linalg.cholesky(Ash)
+  return sum(A[..., :, k] * x[..., k][..., None] for k in range(n))
+
+
+def _smallest_eigvec_power(A, iters=2):
+  """Smallest eigenvector of a symmetric PSD matrix via Cholesky inverse
+  iteration. EPnP's MtM has a near-zero smallest eigenvalue far below the
+  rest, so inverse iteration converges in 2-3 steps (a shifted power
+  iteration would need thousands for this spectrum). eigh would lower to a
+  slow QR routine; Cholesky + two triangular solves batch acceptably."""
+  n = A.shape[-1]
+  reg = 1e-5 * jnp.trace(A)[..., None, None] / n
+  L = jax.lax.linalg.cholesky(A + reg * jnp.eye(n, dtype=A.dtype))
   x0 = jnp.ones(A.shape[:-2] + (n,), A.dtype) / jnp.sqrt(float(n))
 
   def body(_, x):
@@ -132,18 +139,54 @@ def _smallest_eigvec_inviter(A, iters=12, shift=1e-6):
   return jax.lax.fori_loop(0, iters, body, x0)
 
 
-def _kabsch(src, dst, w):
-  """Weighted rigid alignment src -> dst. Returns (R, t)."""
+def _quat_to_matrix(q):
+  """Unit quaternion [..., 4] (w,x,y,z) -> [..., 3, 3]. Arithmetic only."""
+  w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+  xx, yy, zz = x * x, y * y, z * z
+  xy, xz, yz = x * y, x * z, y * z
+  wx, wy, wz = w * x, w * y, w * z
+  return jnp.stack([
+      jnp.stack([1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)], -1),
+      jnp.stack([2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)], -1),
+      jnp.stack([2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)], -1),
+  ], -2)
+
+
+def _kabsch(src, dst, w, iters=64):
+  """Weighted rigid alignment src -> dst via Horn's quaternion method.
+
+  The optimal rotation is the largest eigenvector of the 4x4 N-matrix of the
+  cross-covariance, found with a shifted power iteration — arithmetic only,
+  so it batches over thousands of RANSAC hypotheses (3x3 SVD does not).
+  """
   wsum = jnp.maximum(jnp.sum(w), _EPS)
   ms = jnp.sum(src * w[:, None], axis=0) / wsum
   md = jnp.sum(dst * w[:, None], axis=0) / wsum
-  H = ((src - ms) * w[:, None]).T @ (dst - md)
-  U, _, Vt = jnp.linalg.svd(H)
-  d = jnp.linalg.det(Vt.T @ U.T)
-  D = jnp.diag(jnp.array([1.0, 1.0, 1.0]) * jnp.where(
-      jnp.arange(3) == 2, d, 1.0))
-  R = Vt.T @ D @ U.T
-  t = md - R @ ms
+  S = ((src - ms) * w[:, None]).T @ (dst - md)    # [3, 3], big contraction.
+  Sxx, Sxy, Sxz = S[0, 0], S[0, 1], S[0, 2]
+  Syx, Syy, Syz = S[1, 0], S[1, 1], S[1, 2]
+  Szx, Szy, Szz = S[2, 0], S[2, 1], S[2, 2]
+  N = jnp.stack([
+      jnp.stack([Sxx + Syy + Szz, Syz - Szy, Szx - Sxz, Sxy - Syx]),
+      jnp.stack([Syz - Szy, Sxx - Syy - Szz, Sxy + Syx, Szx + Sxz]),
+      jnp.stack([Szx - Sxz, Sxy + Syx, -Sxx + Syy - Szz, Syz + Szy]),
+      jnp.stack([Sxy - Syx, Szx + Sxz, Syz + Szy, -Sxx - Syy + Szz]),
+  ])
+  # Shift by the Gershgorin bound on |lambda| so the target (largest)
+  # eigenvalue dominates with the tightest achievable gap.
+  shift = jnp.max(jnp.sum(jnp.abs(N), axis=-1))
+  B = N + shift * jnp.eye(4, dtype=N.dtype)
+  q = jnp.ones((4,), N.dtype) * 0.5
+
+  def body(_, q):
+    # Two matvecs per step (power iteration on B^2) halves the iteration
+    # count for the same 16-FMA-per-matvec cost.
+    y = _matvec_unrolled(B, _matvec_unrolled(B, q))
+    return y / jnp.maximum(jnp.linalg.norm(y), _EPS)
+
+  q = jax.lax.fori_loop(0, iters, body, q)
+  R = _quat_to_matrix(q)
+  t = md - mat_small_apply(R, ms)
   return R, t
 
 
@@ -167,7 +210,7 @@ def solve_epnp(pts3d, uv, K, weights, gn_iters=5, num_basis=4):
   if num_basis == 1:
     # Fast path for minimal RANSAC samples: smallest eigenvector via
     # Cholesky inverse iteration (no eigh), N=1 closed-form scale.
-    v1 = _smallest_eigvec_inviter(MtM).reshape(4, 3)
+    v1 = _smallest_eigvec_power(MtM).reshape(4, 3)
     dv1, dc2 = _ctrl_dists(v1)
     num = jnp.sum(jnp.sqrt(dc2) * jnp.sqrt(dw2))
     den = jnp.maximum(jnp.sum(dc2), _EPS)
@@ -194,6 +237,77 @@ def solve_epnp(pts3d, uv, K, weights, gn_iters=5, num_basis=4):
   cam_pts = cam_pts * flip
 
   return _kabsch(pts3d, cam_pts, w)
+
+
+def _rodrigues(w):
+  """Axis-angle [..., 3] -> rotation matrix [..., 3, 3] (arithmetic only)."""
+  theta = jnp.linalg.norm(w, axis=-1, keepdims=True)
+  theta = jnp.maximum(theta, 1e-12)
+  k = w / theta
+  kx, ky, kz = k[..., 0], k[..., 1], k[..., 2]
+  zero = jnp.zeros_like(kx)
+  Km = jnp.stack([
+      jnp.stack([zero, -kz, ky], -1),
+      jnp.stack([kz, zero, -kx], -1),
+      jnp.stack([-ky, kx, zero], -1)], -2)
+  st = jnp.sin(theta)[..., None]
+  ct = jnp.cos(theta)[..., None]
+  eye = jnp.broadcast_to(jnp.eye(3), Km.shape)
+  return eye + st * Km + (1 - ct) * (Km @ Km)
+
+
+def refine_pose_gn(pts3d, uv, K, weights, R, t, iters=5, damping=1e-6):
+  """Gauss-Newton refinement of (R, t) on weighted reprojection error.
+
+  The counterpart of GC-RANSAC's local optimization, but solving the actual
+  least-squares objective: 6-dof update (axis-angle left-perturbation +
+  translation) from the normal equations (6x6 Cholesky solve). All small
+  matrix algebra is unrolled/batched — no eigh/svd.
+
+  Args:
+    pts3d [n,3], uv [n,2], weights [n]; R [3,3]; t [3].
+  Returns refined (R, t).
+  """
+  fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+  w = weights.astype(jnp.float32)
+
+  def body(_, carry):
+    R, t = carry
+    cam = mat3_apply(R, pts3d) + t                 # [n, 3]
+    X, Y, Z = cam[:, 0], cam[:, 1], cam[:, 2]
+    Zs = jnp.maximum(Z, 1e-6)
+    u = fx * X / Zs + cx
+    v = fy * Y / Zs + cy
+    ru = (u - uv[:, 0])
+    rv = (v - uv[:, 1])
+    # d(u,v)/d(cam): [n, 2, 3].
+    iz = 1.0 / Zs
+    du = jnp.stack([fx * iz, jnp.zeros_like(iz), -fx * X * iz * iz], -1)
+    dv = jnp.stack([jnp.zeros_like(iz), fy * iz, -fy * Y * iz * iz], -1)
+    # d(cam)/d(xi): [n, 3, 6] with xi = (omega, dt), cam' = dOmega x cam + dt.
+    zero = jnp.zeros_like(X)
+    one = jnp.ones_like(X)
+    dcam = jnp.stack([
+        jnp.stack([zero, Z, -Y, one, zero, zero], -1),
+        jnp.stack([-Z, zero, X, zero, one, zero], -1),
+        jnp.stack([Y, -X, zero, zero, zero, one], -1)], -2)  # [n, 3, 6]
+    # Contraction dim is 3 — unrolled (see mat3_apply note).
+    Ju = sum(du[:, k, None] * dcam[:, k, :] for k in range(3))  # [n, 6]
+    Jv = sum(dv[:, k, None] * dcam[:, k, :] for k in range(3))
+    J = jnp.concatenate([Ju, Jv], axis=0)          # [2n, 6]
+    r = jnp.concatenate([ru, rv], axis=0)
+    ww = jnp.concatenate([w, w], axis=0)
+    JtJ = (J * ww[:, None]).T @ J + damping * jnp.eye(6)
+    g = (J * ww[:, None]).T @ r
+    L = jax.lax.linalg.cholesky(JtJ)
+    y = jax.lax.linalg.triangular_solve(L, (-g)[:, None], left_side=True,
+                                        lower=True)
+    step = jax.lax.linalg.triangular_solve(L, y, left_side=True, lower=True,
+                                           transpose_a=True)[:, 0]
+    dR = _rodrigues(step[:3])
+    return dR @ R, mat_small_apply(dR, t) + step[3:]
+
+  return jax.lax.fori_loop(0, iters, body, (R, t))
 
 
 def reprojection_errors(pts3d, uv, K, R, t):

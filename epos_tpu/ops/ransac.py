@@ -89,21 +89,25 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
         lambda p, u, w: epnp.solve_epnp(p, u, K, w, num_basis=1))
     R_h, t_h = solve(pts_h, uv_h, w_h)
 
-    errs = jax.vmap(
-        lambda R, t: epnp.reprojection_errors(coord_3d, coord_2d, K, R, t)
-    )(R_h, t_h)                       # [H, C]
-    inl = (errs < inlier_thresh) & avail[None, :]
-    scores = jnp.sum(inl * conf[None, :], axis=1)
+    errs = epnp.reprojection_errors(coord_3d, coord_2d, K, R_h, t_h)  # [H, C]
+    # MSAC scoring: truncated-quadratic gain, confidence weighted — a
+    # near-miss hypothesis scores below one with tight inliers, which makes
+    # the selection robust to clustered outliers (e.g. wrong-fragment
+    # correspondences from symmetric objects).
+    gain = jnp.maximum(0.0, 1.0 - (errs / inlier_thresh) ** 2)
+    scores = jnp.sum(gain * (conf * avail.astype(jnp.float32))[None, :],
+                     axis=1)
     best = jnp.argmax(scores)
     R_b, t_b = R_h[best], t_h[best]
 
-    # Local optimization: iterated weighted EPnP on the inlier set.
+    # Local optimization: Gauss-Newton on the weighted reprojection error of
+    # the inlier set, re-estimating inliers between rounds.
     def refine(_, carry):
       R, t = carry
       e = epnp.reprojection_errors(coord_3d, coord_2d, K, R, t)
       w = ((e < inlier_thresh) & avail).astype(jnp.float32) * conf
       ok = jnp.sum(w > 0) >= min_corrs
-      R2, t2 = epnp.solve_epnp(coord_3d, coord_2d, K, w)
+      R2, t2 = epnp.refine_pose_gn(coord_3d, coord_2d, K, w, R, t, iters=2)
       return (jnp.where(ok, R2, R), jnp.where(ok, t2, t))
 
     R_b, t_b = jax.lax.fori_loop(0, refine_iters, refine, (R_b, t_b))

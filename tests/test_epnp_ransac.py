@@ -198,3 +198,47 @@ def test_ransac_two_instances():
   ang01 = pose_errors(res.R[0], np.asarray(res.t[0]),
                       np.asarray(res.R[1]), np.asarray(res.t[1]))[0]
   assert ang01 > 5.0
+
+
+def test_refine_pose_gn_converges():
+  pts, uv, R, t = make_corrs(60, seed=21, noise=0.0)
+  # Perturb the pose and refine back.
+  dR = geometry.quaternion_matrix(np.array([0.999, 0.03, -0.02, 0.01]) /
+                                  np.linalg.norm([0.999, 0.03, -0.02, 0.01]))
+  R0 = dR @ R
+  t0 = t + np.array([5.0, -4.0, 20.0])
+  R1, t1 = epnp.refine_pose_gn(
+      jnp.asarray(pts, jnp.float32), jnp.asarray(uv, jnp.float32),
+      jnp.asarray(K, jnp.float32), jnp.ones(60),
+      jnp.asarray(R0, jnp.float32), jnp.asarray(t0, jnp.float32), iters=8)
+  ang, dt = pose_errors(R1, t1, R, t)
+  assert ang < 0.05, ang
+  assert dt < 0.5, dt
+
+
+def test_ransac_corrupted_fragment_confs():
+  """Regression for the verification finding: 40% of correspondences are
+  wrong-fragment outliers with plausible confidences — MSAC scoring must
+  still pick the true pose."""
+  pts, uv, R, t = make_corrs(150, seed=22, noise=0.2)
+  r = np.random.default_rng(23)
+  n_bad = 100
+  # Outliers: 2D points from the true projection set, 3D from random
+  # fragments (mimics wrong fragment classification).
+  bad_uv = uv[r.integers(0, 150, n_bad)]
+  bad_pts = r.uniform(-60, 60, (n_bad, 3))
+  pts_all = np.concatenate([pts, bad_pts]).astype(np.float32)
+  uv_all = np.concatenate([uv, bad_uv]).astype(np.float32)
+  conf = np.concatenate([np.full(150, 0.8), np.full(n_bad, 0.9)]).astype(
+      np.float32)
+  px = np.concatenate([np.arange(150), r.integers(0, 150, n_bad)])
+  res = ransac.fit_instances(
+      jnp.asarray(uv_all), jnp.asarray(pts_all), jnp.asarray(conf),
+      jnp.asarray(px, jnp.int32), jnp.ones(250, bool),
+      jnp.asarray(K, jnp.float32), npx=256, rng=jax.random.PRNGKey(3),
+      num_hypotheses=256, inlier_thresh=4.0, max_instances=1,
+      num_instances=1, min_quality=0.2)
+  assert bool(res.valid[0])
+  ang, dt = pose_errors(res.R[0], res.t[0], R, t)
+  assert ang < 2.0, f'rotation err {ang}'
+  assert dt < 15.0, f'translation err {dt}'

@@ -130,3 +130,20 @@ def test_encoder_stride_16():
   logits = model.apply(variables, x, train=False)
   # Decoder still brings it to stride 4.
   assert logits[common.PRED_OBJ_CONF].shape[1] == scale_dimension(64, 0.25)
+
+
+def test_mobilenet_v2_variant():
+  cfg = tiny_cfg(model_variant='mobilenet_v2')
+  model, variables, x = init_and_run(cfg)
+  logits = model.apply(variables, x, train=False)
+  oh = scale_dimension(64, 0.25)
+  assert logits[common.PRED_OBJ_CONF].shape == (1, oh, oh, NUM_OBJS + 1)
+  assert np.all(np.isfinite(np.asarray(logits[common.PRED_OBJ_CONF])))
+
+
+def test_mobilenet_depth_multiplier():
+  cfg = tiny_cfg(model_variant='mobilenet_v2', depth_multiplier=0.5,
+                 divisible_by=8)
+  model, variables, x = init_and_run(cfg)
+  logits = model.apply(variables, x, train=False)
+  assert logits[common.PRED_FRAG_LOC].shape[-1] == NUM_OBJS * NUM_FRAGS * 3
