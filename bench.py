@@ -41,9 +41,13 @@ def main():
   model = epos_model.build_model(cfg, num_objs)
   rng = jax.random.PRNGKey(0)
   r = np.random.default_rng(0)
-  images = jnp.asarray(r.uniform(0, 255, (1, crop_h, crop_w, 3)), jnp.float32)
+  # Distinct images per iteration: the axon runtime can elide repeated
+  # executions with identical inputs, which would inflate the result.
+  n_iter = 24
+  images = jnp.asarray(
+      r.uniform(0, 255, (n_iter, 1, crop_h, crop_w, 3)), jnp.float32)
   variables = jax.jit(lambda k, im: model.init(k, im, train=False))(
-      rng, images)
+      rng, images[0])
   jax.block_until_ready(variables)
 
   frag_centers = jnp.asarray(
@@ -82,12 +86,15 @@ def main():
     return fit(extract(predict(variables, images)), key)
 
   # Warmup / compile.
-  jax.block_until_ready(full(images, rng))
+  jax.block_until_ready(full(images[0], rng))
+  keys = [jax.random.fold_in(rng, i) for i in range(n_iter)]
+  jax.block_until_ready(keys)
 
-  n_iter = 50
   t0 = time.time()
-  outs = [full(images, jax.random.fold_in(rng, i)) for i in range(n_iter)]
-  jax.block_until_ready(outs)
+  last = None
+  for i in range(n_iter):
+    last = full(images[i], keys[i])
+  jax.block_until_ready(last)
   dt = (time.time() - t0) / n_iter
   fps = 1.0 / dt
 
