@@ -65,13 +65,22 @@ def main():
   # well through the axon tunnel.
   # NOTE: weights are jit ARGUMENTS — closure capture would embed 230MB of
   # constants into the program and blow up compile time through the tunnel.
-  predict = jax.jit(lambda v, im: epos_model.predict(model, v, im))
+  def _predict(v, im):
+    logits, _ = epos_model.multi_scale_logits(model, v, im)
+    b, h, w, _ = logits[common.PRED_OBJ_CONF].shape
+    return (jax.nn.softmax(logits[common.PRED_OBJ_CONF], -1),
+            logits[common.PRED_FRAG_CONF].reshape(
+                b, h, w, num_objs, num_frags),
+            logits[common.PRED_FRAG_LOC].reshape(
+                b, h, w, num_objs, num_frags, 3))
+  predict = jax.jit(_predict)
 
   @jax.jit
   def extract(preds):
-    return corresp_lib.establish_many_to_many(
-        preds[common.PRED_OBJ_CONF][0], preds[common.PRED_FRAG_CONF][0],
-        preds[common.PRED_FRAG_LOC][0], frag_centers, frag_sizes,
+    obj_conf, frag_logits, frag_loc = preds
+    # Pallas-fused candidate selection (ops/corresp_pallas.py).
+    return corresp_lib.establish_many_to_many_fused(
+        obj_conf[0], frag_logits[0], frag_loc[0], frag_centers, frag_sizes,
         output_scale=0.25, capacity=cfg.max_corrs_per_obj)
 
   @jax.jit

@@ -28,12 +28,18 @@ class InferenceEngine:
   """Builds and runs the jitted image -> poses path."""
 
   def __init__(self, cfg, model, variables, model_store, num_objs,
-               crop_size=None, time_stages=False):
+               crop_size=None, time_stages=False, use_pallas=None):
     self.cfg = cfg
     self.model = model
     self.variables = variables
     self.num_objs = num_objs
     self.time_stages = time_stages
+    if use_pallas is None:
+      # The fused Pallas selection skips the [h,w,O,F] softmax tensor; the
+      # dense prediction dict is then unavailable, so visualization runs
+      # keep the unfused path.
+      use_pallas = (jax.devices()[0].platform == 'tpu' and not cfg.vis)
+    self.use_pallas = use_pallas
     crop_w, crop_h = crop_size or cfg.infer_crop_size
     stride = (min(cfg.decoder_output_stride)
               if cfg.decoder_output_stride else cfg.encoder_output_stride)
@@ -62,11 +68,32 @@ class InferenceEngine:
     def predict_fn(variables, images):
       # Weights as arguments: closure capture embeds them as program
       # constants, inflating compile time/cache size drastically.
-      return epos_model.predict(
-          self.model, variables, images,
-          image_pyramid=cfg.image_pyramid, merge_method=cfg.merge_method)
+      if not self.use_pallas:
+        return epos_model.predict(
+            self.model, variables, images,
+            image_pyramid=cfg.image_pyramid, merge_method=cfg.merge_method)
+      # Fused path: keep fragment logits RAW for the Pallas kernel.
+      logits, _ = epos_model.multi_scale_logits(
+          self.model, variables, images, image_pyramid=cfg.image_pyramid,
+          merge_method=cfg.merge_method, train=False)
+      b, h, w, _ = logits[common.PRED_OBJ_CONF].shape
+      obj_conf = jax.nn.softmax(logits[common.PRED_OBJ_CONF], axis=-1)
+      return {
+          common.PRED_OBJ_CONF: obj_conf,
+          common.PRED_OBJ_LABEL: jnp.argmax(obj_conf, axis=-1),
+          'frag_logits': logits[common.PRED_FRAG_CONF].reshape(
+              b, h, w, num_objs, cfg.num_frags),
+          common.PRED_FRAG_LOC: logits[common.PRED_FRAG_LOC].reshape(
+              b, h, w, num_objs, cfg.num_frags, 3),
+      }
 
     def corresp_fn(preds, obj_enable):
+      if self.use_pallas:
+        return corresp_lib.establish_many_to_many_fused(
+            preds[common.PRED_OBJ_CONF][0], preds['frag_logits'][0],
+            preds[common.PRED_FRAG_LOC][0], self.frag_centers,
+            self.frag_sizes, self.output_scale,
+            obj_mask_enable=obj_enable, **cfg_f)
       return corresp_lib.establish_many_to_many(
           preds[common.PRED_OBJ_CONF][0], preds[common.PRED_FRAG_CONF][0],
           preds[common.PRED_FRAG_LOC][0], self.frag_centers,

@@ -115,3 +115,55 @@ def establish_many_to_many(obj_confs, frag_confs, frag_coords, frag_centers,
 
   outs = jax.vmap(per_object)(jnp.arange(num_objs))
   return Correspondences(*outs)
+
+
+def establish_many_to_many_fused(obj_confs, frag_logits, frag_coords,
+                                 frag_centers, frag_sizes, output_scale,
+                                 capacity=2048, min_obj_conf=0.1,
+                                 min_frag_rel_conf=0.5, obj_mask_enable=None,
+                                 frags_per_pixel=4):
+  """Pallas-fused variant: candidate selection runs as a TPU kernel over the
+  RAW fragment logits (softmax+thresholds+top-T fused, no [h,w,O,F] conf
+  tensor in HBM — ops/corresp_pallas.py); compaction and 3D reconstruction
+  stay in XLA. Semantics identical to establish_many_to_many.
+
+  Args differ from the unfused version in one place: frag_logits are the
+  pre-softmax fragment logits [h, w, num_objs, num_frags].
+  """
+  from epos_tpu.ops import corresp_pallas
+
+  h, w, num_objs, num_frags = frag_logits.shape
+  T = min(frags_per_pixel, num_frags)
+  npx = h * w
+
+  conf_t, frag_t = corresp_pallas.select_candidates(
+      obj_confs, frag_logits, top_t=T, min_obj_conf=min_obj_conf,
+      min_frag_rel_conf=min_frag_rel_conf)          # [O, npx, T] each
+  if obj_mask_enable is not None:
+    conf_t = conf_t * obj_mask_enable[:, None, None]
+
+  ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / output_scale
+  xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / output_scale
+  obj_flat = obj_confs.reshape(npx, num_objs + 1)
+
+  def per_object(o, conf_o, frag_o):
+    top_conf, flat_idx = jax.lax.top_k(conf_o.reshape(-1), capacity)
+    valid = top_conf > 0.0
+    pix = (flat_idx // T).astype(jnp.int32)
+    frag = frag_o.reshape(-1)[flat_idx].astype(jnp.int32)
+    frag = jnp.clip(frag, 0, num_frags - 1)
+    yy = pix // w
+    xx = pix % w
+    c2d = jnp.stack([xs[xx], ys[yy]], axis=1)
+    offsets = frag_coords[yy, xx, o, frag]
+    c3d = frag_centers[o, frag] + offsets * frag_sizes[o, frag][:, None]
+    cobj = obj_flat[pix, o + 1]
+    cfrag = top_conf / jnp.maximum(cobj, 1e-12)
+    zero = lambda x: jnp.where(valid.reshape((-1,) + (1,) * (x.ndim - 1)),
+                               x, 0)
+    return (zero(c2d), zero(c3d), zero(top_conf), zero(cobj), zero(cfrag),
+            jnp.where(valid, pix, 0), jnp.where(valid, frag, 0), valid,
+            jnp.sum(valid).astype(jnp.int32))
+
+  outs = jax.vmap(per_object)(jnp.arange(num_objs), conf_t, frag_t)
+  return Correspondences(*outs)

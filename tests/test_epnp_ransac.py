@@ -242,3 +242,34 @@ def test_ransac_corrupted_fragment_confs():
   ang, dt = pose_errors(res.R[0], res.t[0], R, t)
   assert ang < 2.0, f'rotation err {ang}'
   assert dt < 15.0, f'translation err {dt}'
+
+
+def test_fused_corresp_matches_unfused():
+  """Pallas-fused extraction (interpret mode on CPU) must match the XLA
+  reference path on identical inputs."""
+  r = np.random.default_rng(30)
+  h, w, O, F = 12, 16, 3, 8
+  obj_logits = r.normal(size=(h, w, O + 1)) * 2
+  obj_confs = jnp.asarray(jax.nn.softmax(jnp.asarray(obj_logits), -1))
+  frag_logits = jnp.asarray(r.normal(size=(h, w, O, F)) * 2, jnp.float32)
+  frag_confs = jax.nn.softmax(frag_logits, -1)
+  frag_coords = jnp.asarray(r.normal(size=(h, w, O, F, 3)), jnp.float32)
+  centers = jnp.asarray(r.uniform(-40, 40, (O, F, 3)), jnp.float32)
+  sizes = jnp.asarray(r.uniform(5, 30, (O, F)), jnp.float32)
+
+  a = corresp_lib.establish_many_to_many(
+      obj_confs, frag_confs, frag_coords, centers, sizes, 0.25,
+      capacity=256, frags_per_pixel=4)
+  b = corresp_lib.establish_many_to_many_fused(
+      obj_confs, frag_logits, frag_coords, centers, sizes, 0.25,
+      capacity=256, frags_per_pixel=4)
+  np.testing.assert_array_equal(np.asarray(a.count), np.asarray(b.count))
+  for o in range(O):
+    n = int(a.count[o])
+    ga = np.argsort(-np.asarray(a.conf[o][:n]))
+    gb = np.argsort(-np.asarray(b.conf[o][:n]))
+    np.testing.assert_allclose(np.asarray(a.conf[o][:n])[ga],
+                               np.asarray(b.conf[o][:n])[gb], rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.coord_3d[o][:n])[ga],
+                               np.asarray(b.coord_3d[o][:n])[gb],
+                               rtol=1e-3, atol=1e-3)
