@@ -180,6 +180,24 @@ class Dataset:
           frag_centers=frag_centers, frag_sizes=frag_sizes,
           renderer=self.renderer, knn_frags=cfg.gt_knn_frags)
 
+    # Full-image renderers/generators for the GT cache, created lazily per
+    # (width, height) since datasets can mix image sizes.
+    self._full_renderers = {}
+
+  def _full_generator(self, ow, oh):
+    key = (ow, oh)
+    if key not in self._full_renderers:
+      r = renderer_lib.Renderer()
+      r.init(ow, oh)
+      for obj_id in self.model_store.dp_model['obj_ids']:
+        r.add_object(obj_id, self.model_store.models[obj_id])
+      gen = gt_fields.FragmentFieldGenerator(
+          frag_centers=self.model_store.frag_centers,
+          frag_sizes=self.model_store.frag_sizes,
+          renderer=r, knn_frags=self.cfg.gt_knn_frags)
+      self._full_renderers[key] = (r, gen)
+    return self._full_renderers[key]
+
   # --- file listing (datagen.py:707-723) ---
   def record_files(self):
     files = []
@@ -208,6 +226,15 @@ class Dataset:
     max_off_w = im_w_new - crop_w
     off_h = int(rng.integers(0, max_off_h + 1)) if max_off_h > 0 else 0
     off_w = int(rng.integers(0, max_off_w + 1)) if max_off_w > 0 else 0
+    use_cache = bool(self.cfg.gt_cache_dir) and (
+        self.return_gt_orig or self.return_gt_maps)
+    if use_cache:
+      # Cached GT fields live on the uncropped stride grid; quantizing the
+      # crop offsets to the output stride lets the per-step crop become a
+      # pure slice of the cache (documented deviation from the reference's
+      # arbitrary-offset crops, datagen.py:452-459).
+      off_h = (off_h // self.output_stride) * self.output_stride
+      off_w = (off_w // self.output_stride) * self.output_stride
 
     if (im_h_new, im_w_new) != (im.shape[0], im.shape[1]):
       im = misc.resize_image_py(im, (im_w_new, im_h_new))
@@ -228,6 +255,36 @@ class Dataset:
         ex['K'], im_scale, off_w, off_h, self.output_stride)
 
     if not (self.return_gt_orig or self.return_gt_maps):
+      return sample
+
+    if use_cache:
+      bundle = self._gt_full_bundle(ex, im_scale, im_h_new, im_w_new)
+      oy = off_h // self.output_stride
+      ox = off_w // self.output_stride
+      sl = (slice(oy, oy + oh), slice(ox, ox + ow))
+      obj_ids = bundle['obj_ids']
+      out_masks = bundle['masks'][:, sl[0], sl[1]]
+      if self.return_gt_orig:
+        M = self.cfg.max_gt_instances
+        n = min(len(obj_ids), M)
+        sample[common.GT_NUM] = np.int32(n)
+        sample[common.GT_OBJ_IDS] = _pad(obj_ids[:n].astype(np.int32), (M,))
+        sample[common.GT_OBJ_VISIB_FRACT] = _pad(
+            bundle['visib'][:n].astype(np.float32), (M,))
+        sample[common.GT_OBJ_QUATS] = _pad(
+            bundle['quats'][:n].astype(np.float32), (M, 4))
+        sample[common.GT_OBJ_TRANS] = _pad(
+            bundle['trans'][:n].astype(np.float32), (M, 3))
+        sample[common.GT_OBJ_MASKS] = _pad(out_masks[:n], (M, oh, ow))
+      if self.return_gt_maps:
+        label = bundle['label'][sl].copy()
+        if self.dataset_name == 'tless' and \
+              'tless/train_primesense' in sample[common.IMAGE_PATH]:
+          label[label == 0] = self.ignore_obj_label
+        sample[common.GT_OBJ_LABEL] = label.astype(np.int32)
+        sample[common.GT_FRAG_LABEL] = bundle['frag_ids'][sl]
+        sample[common.GT_FRAG_LOC] = bundle['frag_coords'][sl]
+        sample[common.GT_FRAG_WEIGHT] = bundle['frag_weights'][sl]
       return sample
 
     # Decode + filter GT annotations (datagen.py:495-570).
@@ -289,6 +346,74 @@ class Dataset:
       sample[common.GT_FRAG_WEIGHT] = weights
 
     return sample
+
+  def _gt_full_bundle(self, ex, im_scale, im_h_new, im_w_new):
+    """GT fields for the FULL (uncropped) resized image, disk-cached.
+
+    Rendering GT per training step is the reference's dominant input cost
+    (it also forces its reader to a single thread, datagen.py:680-683);
+    fragment fields depend only on pose+geometry, not the crop, so one
+    full-image render per example serves every epoch.
+    """
+    stride = self.output_stride
+    ohf = im_h_new // stride
+    owf = im_w_new // stride
+    cache_path = None
+    if self.cfg.gt_cache_dir:
+      os.makedirs(self.cfg.gt_cache_dir, exist_ok=True)
+      cache_path = os.path.join(
+          self.cfg.gt_cache_dir,
+          f'{self.dataset_name}_{ex["scene_id"]:06d}_{ex["im_id"]:06d}_'
+          f'h{im_h_new}_s{stride}_f{self.cfg.num_frags}_'
+          f'k{self.cfg.gt_knn_frags}.npz')
+      if os.path.exists(cache_path):
+        with np.load(cache_path) as z:
+          return {k: z[k] for k in z.files}
+
+    import cv2
+    obj_ids = ex['gt_obj_ids']
+    visib = ex['gt_visib']
+    quats = ex['gt_quats']
+    trans = ex['gt_trans']
+    masks_orig = [schema.decode_mask_png(m) for m in ex['gt_mask_pngs']]
+    keep = [i for i, o in enumerate(obj_ids)
+            if o in self.model_store.dp_model['obj_ids']]
+    if self.cfg.min_visib_fract is not None:
+      keep = [i for i in keep if visib[i] >= self.cfg.min_visib_fract]
+    obj_ids = obj_ids[keep]
+    visib = visib[keep]
+    quats = quats[keep]
+    trans = trans[keep]
+    masks = np.zeros((len(keep), ohf, owf), bool)
+    for i, idx in enumerate(keep):
+      m = masks_orig[idx].astype(np.uint8)
+      m = cv2.resize(m, (owf, ohf), interpolation=cv2.INTER_NEAREST)
+      masks[i] = m > 0
+
+    K_full = misc.adjust_K_for_resize_crop(ex['K'], im_scale, 0, 0, stride)
+    renderer, gen = self._full_generator(owf, ohf)
+    masks = gt_fields.make_masks_exclusive(
+        masks, obj_ids, quats, trans, K_full, renderer)
+    label = gt_fields.construct_seg_mask(masks, obj_ids, ohf, owf)
+    frag_ids, frag_coords, frag_weights = gen.construct_frag_fields(
+        owf, ohf, K_full, obj_ids, quats, trans, masks)
+    bundle = {
+        'obj_ids': obj_ids.astype(np.int32),
+        'visib': visib.astype(np.float32),
+        'quats': quats.astype(np.float32),
+        'trans': trans.astype(np.float32),
+        'masks': masks,
+        'label': label.astype(np.int32),
+        'frag_ids': frag_ids,
+        'frag_coords': frag_coords,
+        'frag_weights': frag_weights,
+    }
+    if cache_path:
+      import threading
+      tmp = f'{cache_path}.{os.getpid()}.{threading.get_ident()}.tmp.npz'
+      np.savez_compressed(tmp, **bundle)
+      os.replace(tmp, cache_path)  # Atomic: concurrent workers race safely.
+    return bundle
 
 
 def _pad(arr, shape):

@@ -21,7 +21,7 @@ from epos_tpu.data import gt_fields
 from epos_tpu.data.dataset import Dataset
 from epos_tpu.data.pipeline import DataLoader
 
-logging.basicConfig(level=logging.INFO, format='%(asctime)s %(message)s')
+logging.basicConfig(level=logging.INFO, format='%(asctime)s %(message)s', force=True)
 log = logging.getLogger('check_train_input')
 
 

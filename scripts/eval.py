@@ -23,7 +23,8 @@ from epos_tpu.data.pipeline import DataLoader
 from epos_tpu.models import epos_model
 from epos_tpu.train import checkpoints, eval_utils
 
-logging.basicConfig(level=logging.INFO, format='%(asctime)s %(message)s')
+logging.basicConfig(level=logging.INFO, format='%(asctime)s %(message)s', force=True)
+logging.getLogger('absl').setLevel(logging.WARNING)  # quiet orbax internals
 log = logging.getLogger('eval')
 
 

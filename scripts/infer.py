@@ -28,7 +28,8 @@ from epos_tpu.inference import InferenceEngine
 from epos_tpu.models import epos_model
 from epos_tpu.train import checkpoints
 
-logging.basicConfig(level=logging.INFO, format='%(asctime)s %(message)s')
+logging.basicConfig(level=logging.INFO, format='%(asctime)s %(message)s', force=True)
+logging.getLogger('absl').setLevel(logging.WARNING)  # quiet orbax internals
 log = logging.getLogger('infer')
 
 

@@ -27,7 +27,8 @@ from epos_tpu.data.pipeline import DataLoader
 from epos_tpu.parallel import mesh as mesh_lib
 from epos_tpu.train import checkpoints, trainer
 
-logging.basicConfig(level=logging.INFO, format='%(asctime)s %(message)s')
+logging.basicConfig(level=logging.INFO, format='%(asctime)s %(message)s', force=True)
+logging.getLogger('absl').setLevel(logging.WARNING)  # quiet orbax internals
 log = logging.getLogger('train')
 
 
@@ -114,7 +115,11 @@ def main(args=None):
     if steps_done % cfg.log_steps == 0:
       dt = time.time() - t_last
       t_last = time.time()
-      m = {k: float(v) for k, v in metrics.items()}
+      # One packed D2H read: per-scalar reads can stall for seconds through
+      # the TPU tunnel (see memory: axon-tpu-quirks).
+      names = sorted(metrics)
+      vals = np.asarray(jnp.stack([metrics[k] for k in names]))
+      m = dict(zip(names, vals.tolist()))
       log.info('step %d: total=%.4f obj=%.4f frag=%.4f loc=%.4f '
                'lr=%.2e (%.2f s/step)', steps_done, m['total_loss'],
                m['obj_cls_loss'], m['frag_cls_loss'], m['frag_loc_loss'],
@@ -123,7 +128,9 @@ def main(args=None):
         raise FloatingPointError(  # tf.check_numerics parity (train.py:281)
             f'Non-finite loss at step {steps_done}: {m}')
     if steps_done % cfg.save_summaries_steps == 0:
-      writer.scalars(steps_done, {k: float(v) for k, v in metrics.items()})
+      names = sorted(metrics)
+      vals = np.asarray(jnp.stack([metrics[k] for k in names]))
+      writer.scalars(steps_done, dict(zip(names, vals.tolist())))
     if steps_done % cfg.save_interval_steps == 0 or \
           steps_done >= cfg.train_steps:
       checkpoints.save_checkpoint(ckpt_dir, state,

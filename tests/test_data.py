@@ -230,3 +230,44 @@ def test_blur_zero_sigma_identity():
   k = augment._gaussian_kernel(jnp.asarray(0.0))
   np.testing.assert_allclose(np.asarray(k[4]), 1.0)
   assert float(jnp.sum(k)) == pytest.approx(1.0)
+
+
+def test_gt_cache_matches_uncached(synth_bop, tmp_path):
+  """With gt_cache_dir set, sliced cached GT fields must match the uncached
+  path when the crop offset is stride-aligned (here: zero offset, since the
+  synthetic images equal the crop size)."""
+  cfg1, ds1 = make_dataset(synth_bop, str(tmp_path / 'm1'))
+  cfg2, ds2 = make_dataset(synth_bop, str(tmp_path / 'm2'))
+  cfg2.gt_cache_dir = str(tmp_path / 'cache')
+  rec = next(iter(records.read_records(ds1.record_files()[0])))
+  s1 = ds1.parse_and_preprocess(rec, np.random.default_rng(0))
+  s2 = ds2.parse_and_preprocess(rec, np.random.default_rng(0))
+  np.testing.assert_array_equal(s1[common.GT_OBJ_LABEL],
+                                s2[common.GT_OBJ_LABEL])
+  np.testing.assert_array_equal(s1[common.GT_FRAG_LABEL],
+                                s2[common.GT_FRAG_LABEL])
+  np.testing.assert_allclose(s1[common.GT_FRAG_LOC], s2[common.GT_FRAG_LOC],
+                             atol=1e-6)
+  np.testing.assert_array_equal(s1[common.GT_OBJ_MASKS],
+                                s2[common.GT_OBJ_MASKS])
+  # Cache file created; second parse hits it and gives identical results.
+  import glob as globlib
+  assert globlib.glob(str(tmp_path / 'cache' / '*.npz'))
+  s3 = ds2.parse_and_preprocess(rec, np.random.default_rng(0))
+  np.testing.assert_array_equal(s2[common.GT_FRAG_LABEL],
+                                s3[common.GT_FRAG_LABEL])
+
+
+def test_gt_cache_speedup(synth_bop, tmp_path):
+  import time
+  cfg, ds = make_dataset(synth_bop, str(tmp_path / 'm'))
+  cfg.gt_cache_dir = str(tmp_path / 'cache2')
+  rec = next(iter(records.read_records(ds.record_files()[0])))
+  t0 = time.time()
+  ds.parse_and_preprocess(rec, np.random.default_rng(0))
+  cold = time.time() - t0
+  t0 = time.time()
+  for _ in range(5):
+    ds.parse_and_preprocess(rec, np.random.default_rng(0))
+  warm = (time.time() - t0) / 5
+  assert warm < cold  # Renders skipped on hits.
