@@ -97,6 +97,7 @@ class Config:
   max_checkpoints_to_keep: int = 40
   save_summaries_steps: int = 1000
   data_augmentations: Optional[dict] = None
+  profile_logdir: Optional[str] = None  # reference: scripts/train.py:66-69
 
   # --- Inference flags (reference: scripts/infer.py:40-146) ---
   task_type: str = 'localization'

@@ -151,7 +151,8 @@ class InferenceEngine:
     counts_j = jnp.asarray(counts)
     enable_j = jnp.asarray(obj_enable)
 
-    if self.time_stages:
+    use_opencv = cfg.fitting_method == common.OPENCV_RANSAC
+    if self.time_stages or use_opencv:
       t0 = time.time()
       preds = jax.block_until_ready(
           self._jit_predict(self.variables, images))
@@ -159,9 +160,12 @@ class InferenceEngine:
       t0 = time.time()
       corrs = jax.block_until_ready(self._jit_corresp(preds, enable_j))
       run_times['establish_corr'] = time.time() - t0
-      t0 = time.time()
-      fits = jax.block_until_ready(self._jit_fit(corrs, K, counts_j, rng))
-      run_times['fitting'] = time.time() - t0
+      fits = None
+      run_times['fitting'] = 0.0
+      if not use_opencv:
+        t0 = time.time()
+        fits = jax.block_until_ready(self._jit_fit(corrs, K, counts_j, rng))
+        run_times['fitting'] = time.time() - t0
       run_times['total'] = sum(run_times.values())
     else:
       t0 = time.time()
@@ -177,6 +181,18 @@ class InferenceEngine:
     im_id = int(np.asarray(sample[common.IM_ID]).reshape(-1)[0])
 
     poses = []
+    if use_opencv:
+      # Host fallback for exact-parity experiments (infer.py:505-528):
+      # cv2.solvePnPRansac EPNP, single instance per object.
+      t0 = time.time()
+      poses = self._fit_opencv(corrs, np.asarray(K), obj_enable, scene_id,
+                               im_id)
+      run_times['fitting'] = time.time() - t0
+      run_times['total'] += run_times['fitting']
+      for p in poses:
+        p['time'] = run_times['total']
+      return poses, run_times, (preds, corrs, None)
+
     valid = np.asarray(fits.valid)
     R_all = np.asarray(fits.R)
     t_all = np.asarray(fits.t)
@@ -191,3 +207,30 @@ class InferenceEngine:
               'time': run_times['total'],
           })
     return poses, run_times, (preds, corrs, fits)
+
+  def _fit_opencv(self, corrs, K, obj_enable, scene_id, im_id):
+    """cv2.solvePnPRansac EPNP per object (reference infer.py:505-528)."""
+    import cv2
+    cfg = self.cfg
+    poses = []
+    counts = np.asarray(corrs.count)
+    c2d = np.asarray(corrs.coord_2d)
+    c3d = np.asarray(corrs.coord_3d)
+    for o in range(self.num_objs):
+      n = int(counts[o])
+      if not obj_enable[o] or n < 6:  # min_required_corrs (infer.py:418)
+        continue
+      ok, rvec, tvec, inliers = cv2.solvePnPRansac(
+          objectPoints=np.ascontiguousarray(c3d[o][:n], np.float64),
+          imagePoints=np.ascontiguousarray(c2d[o][:n], np.float64),
+          cameraMatrix=np.asarray(K, np.float64), distCoeffs=None,
+          iterationsCount=cfg.max_fitting_iterations,
+          reprojectionError=cfg.inlier_thresh,
+          confidence=0.99, flags=cv2.SOLVEPNP_EPNP)
+      if ok:
+        poses.append({
+            'scene_id': scene_id, 'im_id': im_id, 'obj_id': o + 1,
+            'R': cv2.Rodrigues(rvec)[0], 't': tvec.reshape(3, 1),
+            'score': 0.0,  # Undefined for this path (infer.py:527).
+        })
+    return poses

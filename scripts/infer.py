@@ -33,6 +33,56 @@ logging.getLogger('absl').setLevel(logging.WARNING)  # quiet orbax internals
 log = logging.getLogger('infer')
 
 
+def _save_correspondences(cfg, infer_dir, im_ind, sample, corrs):
+  """Saves established correspondences to per-object text files
+  (reference infer.py:294-346 surface: --save_corresp)."""
+  out_dir = os.path.join(infer_dir, 'corr')
+  os.makedirs(out_dir, exist_ok=True)
+  counts = np.asarray(corrs.count)
+  for o in range(counts.shape[0]):
+    n = int(counts[o])
+    if n == 0:
+      continue
+    path = os.path.join(out_dir, f'{im_ind:06d}_corr_{o + 1:02d}.txt')
+    c2d = np.asarray(corrs.coord_2d[o][:n])
+    c3d = np.asarray(corrs.coord_3d[o][:n])
+    conf = np.asarray(corrs.conf[o][:n])
+    px = np.asarray(corrs.px_id[o][:n])
+    frag = np.asarray(corrs.frag_id[o][:n])
+    with open(path, 'w') as f:
+      f.write('# scene {} im {} obj {}: px_id frag_id u v x y z conf\n'
+              .format(int(sample[common.SCENE_ID][0]),
+                      int(sample[common.IM_ID][0]), o + 1))
+      for i in range(n):
+        f.write('{} {} {:.3f} {:.3f} {:.4f} {:.4f} {:.4f} {:.6f}\n'.format(
+            px[i], frag[i], c2d[i, 0], c2d[i, 1],
+            c3d[i, 0], c3d[i, 1], c3d[i, 2], conf[i]))
+
+
+def _visualize(cfg, infer_dir, im_ind, sample, poses, preds, dataset):
+  """Pose/label visualizations (reference infer.py:150-291 surface)."""
+  from epos_tpu.utils import vis as vis_lib
+  vis_dir = os.path.join(infer_dir, 'vis')
+  im = np.asarray(sample[common.IMAGE][0]).astype(np.uint8)
+  K = np.asarray(sample[common.K][0])
+  tiles = [im]
+  if cfg.vis_pred_poses and poses:
+    overlay = im
+    for p in poses:
+      overlay = vis_lib.render_pose_overlay(
+          overlay, dataset.renderer, p['obj_id'], K, p['R'], p['t'])
+    tiles.append(overlay)
+  if cfg.vis_pred_obj_labels and common.PRED_OBJ_LABEL in preds:
+    label = np.asarray(preds[common.PRED_OBJ_LABEL][0])
+    import cv2
+    label_vis = vis_lib.colorize_label_map(label)
+    tiles.append(cv2.resize(label_vis, (im.shape[1], im.shape[0]),
+                            interpolation=cv2.INTER_NEAREST))
+  grid = vis_lib.build_grid(tiles)
+  vis_lib.save_image(
+      os.path.join(vis_dir, f'{im_ind:06d}_vis.jpg'), grid)
+
+
 def main(args=None, time_stages=False):
   cfg = config_from_args(args, 'EPOS-TPU inference')
   model_dir = cfg.model_dir
@@ -81,14 +131,20 @@ def main(args=None, time_stages=False):
   all_poses = []
   all_times = []
   rng = jax.random.PRNGKey(0)
+  infer_dir = os.path.join(
+      model_dir, f'infer_{cfg.infer_name}' if cfg.infer_name else 'infer')
   for im_ind, sample in enumerate(loader):
-    poses, run_times, _ = engine.process_image(
+    poses, run_times, extras = engine.process_image(
         sample, rng=jax.random.fold_in(rng, im_ind))
     all_poses.append(poses)
     all_times.append(run_times)
     log.info('image %d (scene %d, im %d): %d poses, %.3fs',
              im_ind, int(sample[common.SCENE_ID][0]),
              int(sample[common.IM_ID][0]), len(poses), run_times['total'])
+    if cfg.save_corresp:
+      _save_correspondences(cfg, infer_dir, im_ind, sample, extras[1])
+    if cfg.vis:
+      _visualize(cfg, infer_dir, im_ind, sample, poses, extras[0], dataset)
 
   # First-image time (jit compile) replaced by the average of the rest
   # (infer.py:741-749).
@@ -100,10 +156,7 @@ def main(args=None, time_stages=False):
 
   flat_poses = [p for poses in all_poses for p in poses]
   if cfg.save_estimates:
-    suffix = f'_{cfg.infer_name}' if cfg.infer_name else ''
-    out_path = os.path.join(
-        model_dir, f'infer{suffix}',
-        'estimated-poses.csv')
+    out_path = os.path.join(infer_dir, 'estimated-poses.csv')
     bop.save_bop_results(out_path, flat_poses)
     log.info('Saved %d poses to %s', len(flat_poses), out_path)
 

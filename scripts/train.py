@@ -98,7 +98,15 @@ def main(args=None):
   t_last = time.time()
   steps_done = int(state.step)
   data_iter = iter(loader)
+  # Profiler window (reference --profile_logdir wraps the whole session,
+  # train.py:66-69,534-541; a bounded window keeps traces usable).
+  profile_start = steps_done + 10
+  profile_stop = profile_start + 5
+  profiling = False
   while steps_done < cfg.train_steps:
+    if cfg.profile_logdir and steps_done == profile_start and not profiling:
+      jax.profiler.start_trace(cfg.profile_logdir)
+      profiling = True
     batch = next(data_iter)
     batch.pop(common.IMAGE_PATH, None)
     batch = {k: v for k, v in batch.items()
@@ -111,6 +119,11 @@ def main(args=None):
     batch = mesh_lib.shard_batch(batch, mesh)
     state, metrics = step_fn(state, batch, rng)
     steps_done += 1
+    if profiling and steps_done >= profile_stop:
+      jax.block_until_ready(metrics['total_loss'])
+      jax.profiler.stop_trace()
+      profiling = False
+      log.info('Wrote profiler trace to %s', cfg.profile_logdir)
 
     if steps_done % cfg.log_steps == 0:
       dt = time.time() - t_last

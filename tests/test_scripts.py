@@ -145,3 +145,39 @@ def test_07_infer(workspace):
   assert len(loaded) == len(poses)
   # With an untrained model poses may be few/absent; the contract here is
   # the pipeline runs and the CSV is valid.
+
+
+def test_08_infer_detection_mode(workspace):
+  """DETECTION task type: all objects enabled, no GT needed."""
+  poses, times = infer_script.main(
+      ['--model', workspace['model'], '--task_type', 'detection',
+       '--max_instances_to_fit', '1', '--infer_name', 'det'])
+  assert len(times) == 4
+  assert os.path.exists(os.path.join(
+      workspace['model_dir'], 'infer_det', 'estimated-poses.csv'))
+
+
+def test_09_infer_opencv_ransac(workspace):
+  """cv2.solvePnPRansac host fallback (reference OPENCV_RANSAC path)."""
+  poses, times = infer_script.main(
+      ['--model', workspace['model'], '--fitting_method', 'opencv_ransac',
+       '--infer_name', 'cv'])
+  assert len(times) == 4
+  # Stage timings populated in the staged path.
+  assert times[1]['prediction'] > 0
+  for p in poses:
+    assert p['R'].shape == (3, 3)
+
+
+def test_10_infer_save_corresp_and_vis(workspace):
+  poses, times = infer_script.main(
+      ['--model', workspace['model'], '--save_corresp', 'true',
+       '--vis', 'true', '--infer_name', 'v'])
+  base = os.path.join(workspace['model_dir'], 'infer_v')
+  corr_files = []
+  if os.path.isdir(os.path.join(base, 'corr')):
+    corr_files = os.listdir(os.path.join(base, 'corr'))
+  # Untrained net may produce zero correspondences for some images, but the
+  # vis grid must exist for every image.
+  vis_files = os.listdir(os.path.join(base, 'vis'))
+  assert len(vis_files) == 4
