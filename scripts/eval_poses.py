@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""BOP19-style pose evaluation of an estimated-poses.csv against dataset GT.
+
+The reference defers this to external bop_toolkit scripts (SURVEY.md §4);
+here it is part of the framework: MSSD/MSPD recall grids -> Average Recall.
+
+Usage:
+  python eval_poses.py --dataset=<name> --split=test \
+      --results=<path/to/estimated-poses.csv> [--syms_json=...]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+import numpy as np
+
+from epos_tpu import config as config_epos
+from epos_tpu.data import bop
+from epos_tpu.train import pose_eval
+
+import logging
+logging.basicConfig(level=logging.INFO, format='%(asctime)s %(message)s',
+                    force=True)
+log = logging.getLogger('eval_poses')
+
+
+def main(args=None):
+  p = argparse.ArgumentParser()
+  p.add_argument('--dataset', required=True)
+  p.add_argument('--split', default='test')
+  p.add_argument('--split_type', default=None)
+  p.add_argument('--results', required=True)
+  p.add_argument('--output_path', default=None)
+  ns = p.parse_args(args)
+
+  results = bop.load_bop_results(ns.results)
+  sp = bop.get_split_params(config_epos.BOP_PATH, ns.dataset, ns.split,
+                            ns.split_type)
+  mp = bop.get_model_params(config_epos.BOP_PATH, ns.dataset,
+                            model_type='eval')
+
+  # Load models (points + diameters + symmetries from models_info.json).
+  models_pts, diameters, syms = {}, {}, {}
+  info = {}
+  if os.path.exists(mp['models_info_path']):
+    info = bop.load_json(mp['models_info_path'], keys_to_int=True)
+  for obj_id in mp['obj_ids']:
+    m = bop.load_ply(mp['model_tpath'].format(obj_id=obj_id))
+    pts = m['pts']
+    if len(pts) > 1000:  # Subsample for speed (error metrics are maxima
+      pts = pts[:: len(pts) // 1000]  # over points; dense enough).
+    models_pts[obj_id] = pts
+    if obj_id in info and 'diameter' in info[obj_id]:
+      diameters[obj_id] = float(info[obj_id]['diameter'])
+    else:
+      d2 = ((m['pts'][:, None, :][::10] - m['pts'][None, ::10]) ** 2
+            ).sum(-1)
+      diameters[obj_id] = float(np.sqrt(d2.max()))
+    obj_syms = []
+    if obj_id in info:
+      for s in info[obj_id].get('symmetries_discrete', []):
+        T = np.array(s).reshape(4, 4)
+        obj_syms.append({'R': T[:3, :3], 't': T[:3, 3]})
+      for s in info[obj_id].get('symmetries_continuous', []):
+        obj_syms += pose_eval.continuous_syms_to_discrete(s['axis'])
+    if obj_syms:
+      syms[obj_id] = obj_syms
+
+  # GT per image (only images present in the results).
+  keys = sorted({(r['scene_id'], r['im_id']) for r in results})
+  gt_per_image, Ks = {}, {}
+  for scene_id in sorted({k[0] for k in keys}):
+    gts = bop.load_scene_gt(sp['scene_gt_tpath'].format(scene_id=scene_id))
+    cams = bop.load_scene_camera(
+        sp['scene_camera_tpath'].format(scene_id=scene_id))
+    for (s_id, im_id) in keys:
+      if s_id != scene_id:
+        continue
+      gt_per_image[(s_id, im_id)] = [
+          {'obj_id': g['obj_id'], 'R': g['cam_R_m2c'],
+           't': g['cam_t_m2c'].flatten()} for g in gts[im_id]
+          if g['obj_id'] in models_pts]
+      Ks[(s_id, im_id)] = cams[im_id]['cam_K']
+
+  out = pose_eval.evaluate_localization(
+      results, gt_per_image, models_pts, diameters, Ks, syms)
+  log.info('Images: %d, GT instances: %d, estimates: %d',
+           len(gt_per_image), len(out['matches_mssd']), len(results))
+  log.info('AR_MSSD=%.4f AR_MSPD=%.4f AR=%.4f',
+           out['ar_mssd'], out['ar_mspd'], out['ar'])
+  if ns.output_path:
+    with open(ns.output_path, 'w') as f:
+      json.dump({'ar_mssd': out['ar_mssd'], 'ar_mspd': out['ar_mspd'],
+                 'ar': out['ar']}, f)
+  return out
+
+
+if __name__ == '__main__':
+  main()
