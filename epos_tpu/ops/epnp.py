@@ -118,25 +118,48 @@ def _matvec_unrolled(A, x):
   return sum(A[..., :, k] * x[..., k][..., None] for k in range(n))
 
 
-def _smallest_eigvec_power(A, iters=2):
-  """Smallest eigenvector of a symmetric PSD matrix via Cholesky inverse
-  iteration. EPnP's MtM has a near-zero smallest eigenvalue far below the
-  rest, so inverse iteration converges in 2-3 steps (a shifted power
-  iteration would need thousands for this spectrum). eigh would lower to a
-  slow QR routine; Cholesky + two triangular solves batch acceptably."""
+def _smallest_eigvecs_power(A, k=1, iters=2):
+  """k smallest eigenvectors of a symmetric PSD matrix via block Cholesky
+  inverse iteration with Gram-Schmidt orthonormalization.
+
+  EPnP's MtM has near-zero smallest eigenvalues far below the rest, so
+  inverse iteration converges in 2-3 steps (a shifted power iteration would
+  need thousands for this spectrum). eigh would lower to a slow QR routine;
+  Cholesky + triangular solves batch acceptably over hypothesis batches.
+
+  Returns [..., n, k] with columns ordered smallest-first (approximately).
+  """
   n = A.shape[-1]
   reg = 1e-5 * jnp.trace(A)[..., None, None] / n
   L = jax.lax.linalg.cholesky(A + reg * jnp.eye(n, dtype=A.dtype))
-  x0 = jnp.ones(A.shape[:-2] + (n,), A.dtype) / jnp.sqrt(float(n))
+  # Deterministic, linearly independent starting block.
+  x0 = jnp.stack([jnp.ones(A.shape[:-2] + (n,), A.dtype)] + [
+      jnp.broadcast_to(
+          jnp.linspace(-1.0, 1.0, n, dtype=A.dtype) ** (j + 1),
+          A.shape[:-2] + (n,))
+      for j in range(k - 1)], axis=-1)              # [..., n, k]
 
-  def body(_, x):
-    y = jax.lax.linalg.triangular_solve(
-        L, x[..., None], left_side=True, lower=True)
-    y = jax.lax.linalg.triangular_solve(
-        L, y, left_side=True, lower=True, transpose_a=True)[..., 0]
-    return y / jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), _EPS)
+  def orthonormalize(X):
+    cols = []
+    for j in range(k):
+      v = X[..., j]
+      for u in cols:
+        v = v - jnp.sum(u * v, axis=-1, keepdims=True) * u
+      v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), _EPS)
+      cols.append(v)
+    return jnp.stack(cols, axis=-1)
 
-  return jax.lax.fori_loop(0, iters, body, x0)
+  def body(_, X):
+    y = jax.lax.linalg.triangular_solve(L, X, left_side=True, lower=True)
+    y = jax.lax.linalg.triangular_solve(L, y, left_side=True, lower=True,
+                                        transpose_a=True)
+    return orthonormalize(y)
+
+  return jax.lax.fori_loop(0, iters, body, orthonormalize(x0))
+
+
+def _smallest_eigvec_power(A, iters=2):
+  return _smallest_eigvecs_power(A, k=1, iters=iters)[..., 0]
 
 
 def _quat_to_matrix(q):
@@ -207,36 +230,44 @@ def solve_epnp(pts3d, uv, K, weights, gn_iters=5, num_basis=4):
   MtM = M.T @ M
   _, dw2 = _ctrl_dists(ctrl_w)
 
+  def finish(ctrl_c):
+    """ctrl_c [4,3] -> (R, t) with cheirality fix + Kabsch."""
+    cam_pts = sum(alphas[:, i:i + 1] * ctrl_c[i] for i in range(4))
+    mean_z = jnp.sum(cam_pts[:, 2] * w) / jnp.maximum(jnp.sum(w), _EPS)
+    flip = jnp.where(mean_z < 0, -1.0, 1.0)
+    return _kabsch(pts3d, cam_pts * flip, w)
+
+  def n1_scale(v1):
+    dv1, dc2 = _ctrl_dists(v1)
+    num = jnp.sum(jnp.sqrt(dc2) * jnp.sqrt(dw2))
+    den = jnp.maximum(jnp.sum(dc2), _EPS)
+    return num / den
+
   if num_basis == 1:
-    # Fast path for minimal RANSAC samples: smallest eigenvector via
-    # Cholesky inverse iteration (no eigh), N=1 closed-form scale.
+    # Fast path: smallest eigenvector + N=1 closed-form scale. Degrades on
+    # near-planar samples (the classic EPnP N=1 failure) — use num_basis=2
+    # when minimal samples can be planar.
     v1 = _smallest_eigvec_power(MtM).reshape(4, 3)
-    dv1, dc2 = _ctrl_dists(v1)
-    num = jnp.sum(jnp.sqrt(dc2) * jnp.sqrt(dw2))
-    den = jnp.maximum(jnp.sum(dc2), _EPS)
-    ctrl_c = (num / den) * v1
-  else:
-    eigval, eigvecs = jnp.linalg.eigh(MtM)          # ascending
-    V = eigvecs[:, :num_basis]                      # [12, nb] smallest first
+    ctrl_c = n1_scale(v1) * v1
+    return finish(ctrl_c)
 
-    # N=1 closed-form scale for the smallest eigenvector.
-    v1 = V[:, 0].reshape(4, 3)
-    dv1, dc2 = _ctrl_dists(v1)
-    num = jnp.sum(jnp.sqrt(dc2) * jnp.sqrt(dw2))
-    den = jnp.maximum(jnp.sum(dc2), _EPS)
-    beta0 = jnp.zeros((num_basis,)).at[0].set(num / den)
-
-    beta = _gauss_newton_betas(V, dw2, beta0, iters=gn_iters)
-    ctrl_c = jnp.einsum('b,bk->k', beta, V.T).reshape(4, 3)
-
-  # Cheirality: weighted mean z of reconstructed camera points must be > 0.
-  # alphas @ ctrl_c unrolled (size-4 contraction).
-  cam_pts = sum(alphas[:, i:i + 1] * ctrl_c[i] for i in range(4))
-  mean_z = jnp.sum(cam_pts[:, 2] * w) / jnp.maximum(jnp.sum(w), _EPS)
-  flip = jnp.where(mean_z < 0, -1.0, 1.0)
-  cam_pts = cam_pts * flip
-
-  return _kabsch(pts3d, cam_pts, w)
+  # Planar-robust fast path (no eigh): the num_basis smallest eigenvectors
+  # via block inverse iteration; pick the better of the N=1 and the
+  # GN-refined multi-beta solutions by weighted reprojection error.
+  # Near-planar point sets (objects showing one face) need 3-4 basis
+  # vectors — the classic EPnP N=1 degeneracy.
+  V = _smallest_eigvecs_power(MtM, k=num_basis, iters=3)   # [12, nb]
+  v1 = V[:, 0].reshape(4, 3)
+  ctrl_c1 = n1_scale(v1) * v1
+  beta0 = jnp.zeros((num_basis,), jnp.float32).at[0].set(n1_scale(v1))
+  beta = _gauss_newton_betas(V, dw2, beta0, iters=gn_iters)
+  ctrl_c2 = jnp.einsum('b,bk->k', beta, V.T).reshape(4, 3)
+  R1, t1 = finish(ctrl_c1)
+  R2, t2 = finish(ctrl_c2)
+  e1 = jnp.sum(w * reprojection_errors(pts3d, uv, K, R1, t1))
+  e2 = jnp.sum(w * reprojection_errors(pts3d, uv, K, R2, t2))
+  pick2 = e2 < e1
+  return (jnp.where(pick2, R2, R1), jnp.where(pick2, t2, t1))
 
 
 def _rodrigues(w):

@@ -84,10 +84,23 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
     uv_h = coord_2d[idx]             # [H, 6, 2]
     w_h = avail_f[idx]               # [H, 6] zero if an unavailable slipped in
 
-    # num_basis=1: eigh-free fast path for the large hypothesis batch.
+    # num_basis=4: eigh-free fast path robust to near-planar minimal
+    # samples (objects showing a single face produce coplanar points —
+    # the classic EPnP N=1 degeneracy needs the multi-beta cases).
     solve = jax.vmap(
-        lambda p, u, w: epnp.solve_epnp(p, u, K, w, num_basis=1))
+        lambda p, u, w: epnp.solve_epnp(p, u, K, w, num_basis=4))
     R_h, t_h = solve(pts_h, uv_h, w_h)
+
+    # Extra hypothesis: weighted EPnP over ALL available correspondences +
+    # Gauss-Newton — with a majority of inliers this often lands directly
+    # on the solution (the reference gets the same effect from GC-RANSAC's
+    # local optimization with large samples).
+    w_all = avail_f * conf
+    R_f, t_f = epnp.solve_epnp(coord_3d, coord_2d, K, w_all, num_basis=4)
+    R_f, t_f = epnp.refine_pose_gn(coord_3d, coord_2d, K, w_all, R_f, t_f,
+                                   iters=3)
+    R_h = jnp.concatenate([R_h, R_f[None]], axis=0)
+    t_h = jnp.concatenate([t_h, t_f[None]], axis=0)
 
     errs = epnp.reprojection_errors(coord_3d, coord_2d, K, R_h, t_h)  # [H, C]
     # MSAC scoring: truncated-quadratic gain, confidence weighted — a

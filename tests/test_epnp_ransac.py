@@ -273,3 +273,45 @@ def test_fused_corresp_matches_unfused():
     np.testing.assert_allclose(np.asarray(a.coord_3d[o][:n])[ga],
                                np.asarray(b.coord_3d[o][:n])[gb],
                                rtol=1e-3, atol=1e-3)
+
+
+def test_epnp_planar_points():
+  """Near-planar point sets (object showing one face) — the classic EPnP
+  N=1 degeneracy. Regression for the synthetic end-to-end failure."""
+  r = np.random.default_rng(40)
+  R, t = random_pose(41)
+  # Points on a plane with tiny jitter (one box face).
+  pts = np.stack([r.uniform(-30, 30, 40), r.uniform(-20, 20, 40),
+                  np.full(40, 15.0) + r.normal(scale=0.2, size=40)], 1)
+  uv = np.asarray(geometry.project_pts(pts, K, R, t))
+  R_est, t_est = epnp.solve_epnp(
+      jnp.asarray(pts, jnp.float32), jnp.asarray(uv, jnp.float32),
+      jnp.asarray(K, jnp.float32), jnp.ones(40), num_basis=4)
+  ang, dt = pose_errors(R_est, t_est, R, t)
+  assert ang < 3.0, f'planar rotation error {ang} deg'
+  assert dt < 20.0, f'planar translation error {dt} mm'
+
+
+def test_ransac_small_clustered_set():
+  """Few clustered correspondences from a small object at low resolution —
+  mirrors the real synthetic-scene failure (12-30 corrs, 1-2 visible
+  faces)."""
+  r = np.random.default_rng(42)
+  R, t = random_pose(43)
+  pts = np.stack([r.uniform(-25, 25, 18), r.uniform(-18, 18, 18),
+                  np.full(18, 12.5)], 1)  # one face
+  uv = np.asarray(geometry.project_pts(pts, K, R, t))
+  uv += r.normal(scale=1.0, size=uv.shape)  # stride-4 pixel-center noise
+  # A couple of wrong-fragment outliers.
+  pts_all = np.concatenate([pts, r.uniform(-25, 25, (3, 3))])
+  uv_all = np.concatenate([uv, uv[r.integers(0, 18, 3)]])
+  res = ransac.fit_instances(
+      jnp.asarray(uv_all, jnp.float32), jnp.asarray(pts_all, jnp.float32),
+      jnp.ones(21, jnp.float32), jnp.asarray(np.arange(21), jnp.int32),
+      jnp.ones(21, bool), jnp.asarray(K, jnp.float32), npx=256,
+      rng=jax.random.PRNGKey(5), num_hypotheses=128, inlier_thresh=4.0,
+      max_instances=1, num_instances=1, min_quality=0.3)
+  assert bool(res.valid[0])
+  ang, dt = pose_errors(res.R[0], res.t[0], R, t)
+  assert ang < 10.0, f'rotation err {ang}'
+  assert dt < 40.0, f'translation err {dt}'
