@@ -115,6 +115,23 @@ class InferenceEngine:
     self._jit_fit = jax.jit(fit_fn)
     self._jit_full = jax.jit(full)
 
+    def full_batch(variables, images, Ks, obj_enables, instance_counts,
+                   rngs):
+      """Batched variant: one CNN forward over the whole batch, then the
+      per-image extraction/fitting unrolled inside the same jit (BASELINE
+      config #3: batched multi-image inference)."""
+      batch = images.shape[0]
+      preds = predict_fn(variables, images)
+      fits_all = []
+      for b in range(batch):
+        preds_b = jax.tree_util.tree_map(lambda x: x[b:b + 1], preds)
+        corrs = corresp_fn(preds_b, obj_enables[b])
+        fits_all.append(fit_fn(corrs, Ks[b], instance_counts[b], rngs[b]))
+      return jax.tree_util.tree_map(
+          lambda *xs: jnp.stack(xs), *fits_all)
+
+    self._jit_full_batch = jax.jit(full_batch, static_argnames=())
+
   def process_image(self, sample, task_type=None, rng=None):
     """Estimates poses for one sample (batch of 1).
 
@@ -207,6 +224,68 @@ class InferenceEngine:
               'time': run_times['total'],
           })
     return poses, run_times, (preds, corrs, fits)
+
+  def process_batch(self, batch, task_type=None, rng=None):
+    """Estimates poses for a fixed-shape batch of samples in one dispatch.
+
+    batch: dict with IMAGE [B,H,W,3], K [B,3,3], SCENE_ID/IM_ID [B], and for
+    LOCALIZATION the padded GT id lists. Returns (poses, run_times).
+
+    Note: this call synchronizes once per batch. On hosts with high
+    device-sync latency, pipelining process_image calls (async dispatch,
+    sync once at the end) can outperform batching; prefer this API when
+    running on directly-attached TPUs.
+    """
+    cfg = self.cfg
+    task_type = task_type or cfg.task_type
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    images = jnp.asarray(batch[common.IMAGE])
+    B = images.shape[0]
+    Ks = jnp.asarray(batch[common.K], jnp.float32)
+
+    counts = np.zeros((B, self.num_objs), np.int32)
+    if task_type == common.LOCALIZATION:
+      nums = np.asarray(batch[common.GT_NUM]).reshape(B)
+      ids = np.asarray(batch[common.GT_OBJ_IDS]).reshape(B, -1)
+      for b in range(B):
+        for oid in ids[b][:nums[b]]:
+          if 1 <= oid <= self.num_objs:
+            counts[b, oid - 1] += 1
+      enables = counts > 0
+    else:
+      counts[:] = self.max_instances
+      enables = np.ones((B, self.num_objs), bool)
+    if cfg.max_instances_to_fit is not None:
+      counts = np.minimum(counts, cfg.max_instances_to_fit)
+
+    rngs = jax.random.split(rng, B)
+    t0 = time.time()
+    fits = jax.block_until_ready(self._jit_full_batch(
+        self.variables, images, Ks, jnp.asarray(enables),
+        jnp.asarray(counts), rngs))
+    total = time.time() - t0
+    run_times = {'prediction': 0.0, 'establish_corr': 0.0, 'fitting': 0.0,
+                 'total': total, 'per_image': total / B}
+
+    scene_ids = np.asarray(batch[common.SCENE_ID]).reshape(B)
+    im_ids = np.asarray(batch[common.IM_ID]).reshape(B)
+    valid = np.asarray(fits.valid)
+    R_all = np.asarray(fits.R)
+    t_all = np.asarray(fits.t)
+    q_all = np.asarray(fits.quality)
+    poses = []
+    for b in range(B):
+      for o in range(self.num_objs):
+        for i in range(self.max_instances):
+          if valid[b, o, i]:
+            poses.append({
+                'scene_id': int(scene_ids[b]), 'im_id': int(im_ids[b]),
+                'obj_id': o + 1, 'R': R_all[b, o, i],
+                't': t_all[b, o, i].reshape(3, 1),
+                'score': float(q_all[b, o, i]),
+                'time': run_times['per_image'],
+            })
+    return poses, run_times
 
   def _fit_opencv(self, corrs, K, obj_enable, scene_id, im_id):
     """cv2.solvePnPRansac EPNP per object (reference infer.py:505-528)."""
