@@ -110,19 +110,22 @@ class Config:
   save_estimates: bool = True
   save_corresp: bool = False
   infer_name: Optional[str] = None
-  # Pose fitting (reference: scripts/infer.py:72-120).
+  # Pose fitting (reference: scripts/infer.py:72-120). The on-device
+  # fitter redesigns Progressive-X (batched hypotheses + greedy
+  # multi-instance; ops/ransac.py), so the GC-RANSAC-specific knobs below
+  # marked [compat] are accepted for CLI compatibility but have no effect.
   fitting_method: str = 'progressive_x'
   inlier_thresh: float = 4.0              # tau_r [px]
-  neighbour_max_dist: float = 20.0        # tau_d
+  neighbour_max_dist: float = 20.0        # tau_d [compat]
   min_hypothesis_quality: float = 0.5     # tau_q
-  required_progx_confidence: float = 0.5
-  required_ransac_confidence: float = 1.0
-  min_triangle_area: float = 0.0          # tau_t
+  required_progx_confidence: float = 0.5  # [compat]
+  required_ransac_confidence: float = 1.0  # [compat]
+  min_triangle_area: float = 0.0          # tau_t [compat]
   use_prosac: bool = False
-  max_model_number_for_pearl: int = 5
-  spatial_coherence_weight: float = 0.1
-  scaling_from_millimeters: float = 0.1
-  max_tanimoto_similarity: float = 0.9
+  max_model_number_for_pearl: int = 5     # [compat]
+  spatial_coherence_weight: float = 0.1   # [compat]
+  scaling_from_millimeters: float = 0.1   # [compat]
+  max_tanimoto_similarity: float = 0.9    # [compat]
   max_correspondences: Optional[int] = None
   max_instances_to_fit: Optional[int] = None
   max_fitting_iterations: int = 400

@@ -118,6 +118,29 @@ def visualize_frag_fields(frag_ids, frag_coords, obj_label, frag_centers,
   return label_vis, xyz_vis
 
 
+def write_text_on_image(im, txt_list, loc=(3, 12), color=(255, 255, 255),
+                        size=0.4):
+  """Writes lines of text onto an image (bop_toolkit
+  visualization.write_text_on_image surface, used at infer.py:196-259).
+
+  txt_list: list of dicts {'name': str, 'val': float, 'fmt': str} or strings.
+  """
+  import cv2
+  im = np.ascontiguousarray(im.copy())
+  x, y = loc
+  for item in txt_list:
+    if isinstance(item, dict):
+      txt = '{}: {}'.format(item.get('name', ''),
+                            ('{' + item.get('fmt', ':.3f') + '}').format(
+                                item.get('val', '')))
+    else:
+      txt = str(item)
+    cv2.putText(im, txt, (x, y), cv2.FONT_HERSHEY_SIMPLEX, size,
+                tuple(int(c) for c in color), 1, cv2.LINE_AA)
+    y += int(22 * size / 0.4)
+  return im
+
+
 def save_image(path, im):
   import cv2
   os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)

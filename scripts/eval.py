@@ -82,6 +82,12 @@ def main(args=None):
     n += 1
   res = evaluator.result()
   path = evaluator.write_report(eval_dir, step)
+  # TB summaries (reference eval writes mIoU scalars, eval_utils.py:102-115).
+  from epos_tpu.utils.summary import SummaryWriter
+  writer = SummaryWriter(os.path.join(model_dir, 'tb_eval'))
+  writer.scalars(step, {'miou_all': res['miou_all'],
+                        'miou_fg': res['miou_fg']})
+  writer.close()
   log.info('Evaluated %d images at step %d: mIoU(all)=%.4f mIoU(fg)=%.4f '
            '(%s)', n, step, res['miou_all'], res['miou_fg'], path)
 
