@@ -78,13 +78,24 @@ class InferenceEngine:
           merge_method=cfg.merge_method, train=False)
       b, h, w, _ = logits[common.PRED_OBJ_CONF].shape
       obj_conf = jax.nn.softmax(logits[common.PRED_OBJ_CONF], axis=-1)
+      # Object-agnostic heads predict one class; broadcast to the object
+      # axis (lazy view) so the correspondence kernels see a uniform shape
+      # (reference reshape semantics, model.py:117-147).
+      n_cls = 1 if cfg.frag_cls_agnostic else num_objs
+      n_cls_loc = 1 if cfg.frag_loc_agnostic else num_objs
+      frag_logits = jnp.broadcast_to(
+          logits[common.PRED_FRAG_CONF].reshape(
+              b, h, w, n_cls, cfg.num_frags),
+          (b, h, w, num_objs, cfg.num_frags))
+      frag_loc = jnp.broadcast_to(
+          logits[common.PRED_FRAG_LOC].reshape(
+              b, h, w, n_cls_loc, cfg.num_frags, 3),
+          (b, h, w, num_objs, cfg.num_frags, 3))
       return {
           common.PRED_OBJ_CONF: obj_conf,
           common.PRED_OBJ_LABEL: jnp.argmax(obj_conf, axis=-1),
-          'frag_logits': logits[common.PRED_FRAG_CONF].reshape(
-              b, h, w, num_objs, cfg.num_frags),
-          common.PRED_FRAG_LOC: logits[common.PRED_FRAG_LOC].reshape(
-              b, h, w, num_objs, cfg.num_frags, 3),
+          'frag_logits': frag_logits,
+          common.PRED_FRAG_LOC: frag_loc,
       }
 
     def corresp_fn(preds, obj_enable):
@@ -94,9 +105,14 @@ class InferenceEngine:
             preds[common.PRED_FRAG_LOC][0], self.frag_centers,
             self.frag_sizes, self.output_scale,
             obj_mask_enable=obj_enable, **cfg_f)
+      fc = preds[common.PRED_FRAG_CONF][0]
+      fl = preds[common.PRED_FRAG_LOC][0]
+      h, w = fc.shape[:2]
+      # Agnostic heads -> broadcast the single class over objects.
+      fc = jnp.broadcast_to(fc, (h, w, num_objs, cfg.num_frags))
+      fl = jnp.broadcast_to(fl, (h, w, num_objs, cfg.num_frags, 3))
       return corresp_lib.establish_many_to_many(
-          preds[common.PRED_OBJ_CONF][0], preds[common.PRED_FRAG_CONF][0],
-          preds[common.PRED_FRAG_LOC][0], self.frag_centers,
+          preds[common.PRED_OBJ_CONF][0], fc, fl, self.frag_centers,
           self.frag_sizes, self.output_scale,
           obj_mask_enable=obj_enable, **cfg_f)
 

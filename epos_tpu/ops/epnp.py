@@ -104,7 +104,11 @@ def _gauss_newton_betas(V, dist_w_sq, beta0, iters=5):
     # Jacobian df/dbeta = 2 * diff . dv
     J = 2.0 * jnp.einsum('pk,bpk->pb', diff, dv)  # [6, nb]
     JtJ = J.T @ J + 1e-9 * jnp.eye(J.shape[1])
-    step = jnp.linalg.solve(JtJ, J.T @ f)
+    L = jax.lax.linalg.cholesky(JtJ)
+    y = jax.lax.linalg.triangular_solve(L, (J.T @ f)[:, None],
+                                        left_side=True, lower=True)
+    step = jax.lax.linalg.triangular_solve(
+        L, y, left_side=True, lower=True, transpose_a=True)[:, 0]
     return beta - step
 
   return jax.lax.fori_loop(0, iters, body, beta0)
@@ -256,7 +260,7 @@ def solve_epnp(pts3d, uv, K, weights, gn_iters=5, num_basis=4):
   # GN-refined multi-beta solutions by weighted reprojection error.
   # Near-planar point sets (objects showing one face) need 3-4 basis
   # vectors — the classic EPnP N=1 degeneracy.
-  V = _smallest_eigvecs_power(MtM, k=num_basis, iters=3)   # [12, nb]
+  V = _smallest_eigvecs_power(MtM, k=num_basis, iters=2)   # [12, nb]
   v1 = V[:, 0].reshape(4, 3)
   ctrl_c1 = n1_scale(v1) * v1
   beta0 = jnp.zeros((num_basis,), jnp.float32).at[0].set(n1_scale(v1))

@@ -125,3 +125,42 @@ def test_process_batch_matches_single():
   # Untrained net: typically no valid poses either way; the contract is that
   # both paths run and agree on per-image validity counts.
   assert isinstance(poses, list) and isinstance(p0, list)
+
+
+def test_agnostic_heads_inference():
+  """frag_cls_agnostic / frag_loc_agnostic heads run through the engine
+  (single-class heads broadcast over the object axis)."""
+  import jax
+  from epos_tpu import common
+  from epos_tpu.config import Config
+  from epos_tpu.inference import InferenceEngine
+  from epos_tpu.models import epos_model
+
+  cfg = Config(num_frags=4, model_variant='xception_micro',
+               atrous_rates=[2, 4], compute_dtype='float32',
+               infer_crop_size=[64, 64], max_corrs_per_obj=128,
+               max_fitting_iterations=16, max_instances_to_fit=1,
+               frag_cls_agnostic=True, frag_loc_agnostic=True,
+               task_type='detection')
+  num_objs = 3
+  model = epos_model.build_model(cfg, num_objs)
+  im = jnp.asarray(np.random.default_rng(1).uniform(0, 255, (64, 64, 3)),
+                   jnp.float32)
+  variables = model.init(jax.random.PRNGKey(0), im[None], train=False)
+
+  class Store:
+    def frag_arrays(self, n=None):
+      r = np.random.default_rng(0)
+      return (r.uniform(-40, 40, (num_objs, 4, 3)).astype(np.float32),
+              r.uniform(10, 30, (num_objs, 4)).astype(np.float32))
+
+  for use_pallas in [False, True]:
+    engine = InferenceEngine(cfg, model, variables, Store(), num_objs,
+                             crop_size=(64, 64), use_pallas=use_pallas)
+    sample = {common.IMAGE: im,
+              common.K: np.array([[60.0, 0, 32], [0, 60, 32], [0, 0, 1]],
+                                 np.float32),
+              common.SCENE_ID: np.int32(0), common.IM_ID: np.int32(0)}
+    poses, rt, extras = engine.process_image(sample,
+                                             rng=jax.random.PRNGKey(2))
+    assert isinstance(poses, list)  # Runs without shape errors.
