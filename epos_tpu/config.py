@@ -46,6 +46,8 @@ class Config:
   logits_kernel_size: int = 1
   image_pyramid: Optional[List[float]] = None
   add_image_level_feature: bool = True
+  # [compat] strided ASPP image pooling (common.py:102-104); the build
+  # always uses global pooling (the reference default [1,1]).
   image_pooling_stride: List[int] = dataclasses.field(
       default_factory=lambda: [1, 1])
   aspp_with_batch_norm: bool = True
