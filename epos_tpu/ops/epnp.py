@@ -104,14 +104,59 @@ def _gauss_newton_betas(V, dist_w_sq, beta0, iters=5):
     # Jacobian df/dbeta = 2 * diff . dv
     J = 2.0 * jnp.einsum('pk,bpk->pb', diff, dv)  # [6, nb]
     JtJ = J.T @ J + 1e-9 * jnp.eye(J.shape[1])
-    L = jax.lax.linalg.cholesky(JtJ)
-    y = jax.lax.linalg.triangular_solve(L, (J.T @ f)[:, None],
-                                        left_side=True, lower=True)
-    step = jax.lax.linalg.triangular_solve(
-        L, y, left_side=True, lower=True, transpose_a=True)[:, 0]
-    return beta - step
+    g = J.T @ f
+    nb = JtJ.shape[-1]
+    L = chol_unrolled(JtJ)
+    step = chol_solve_unrolled(L, [g[i] for i in range(nb)])
+    return beta - jnp.stack(step)
 
   return jax.lax.fori_loop(0, iters, body, beta0)
+
+
+def chol_unrolled(A):
+  """Cholesky of [..., n, n] PSD matrices, fully unrolled over n.
+
+  For tiny n with huge batches, lax.linalg.cholesky under-utilizes the TPU;
+  the unrolled Cholesky-Banachiewicz recurrence is pure batched arithmetic.
+  Returns the lower factor as an n x n list-of-lists of [...] arrays.
+  """
+  n = A.shape[-1]
+  L = [[None] * n for _ in range(n)]
+  for i in range(n):
+    for j in range(i + 1):
+      s = A[..., i, j]
+      for k in range(j):
+        s = s - L[i][k] * L[j][k]
+      if i == j:
+        L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-20))
+      else:
+        L[i][j] = s / L[j][j]
+  return L
+
+
+def trisolve_unrolled(L, b, transpose=False):
+  """Solves L x = b (or L^T x = b) for the list-of-lists factor from
+  chol_unrolled. b: list of n [...] arrays. Returns list of n arrays."""
+  n = len(L)
+  x = [None] * n
+  if not transpose:
+    for i in range(n):
+      s = b[i]
+      for k in range(i):
+        s = s - L[i][k] * x[k]
+      x[i] = s / L[i][i]
+  else:
+    for i in reversed(range(n)):
+      s = b[i]
+      for k in range(i + 1, n):
+        s = s - L[k][i] * x[k]
+      x[i] = s / L[i][i]
+  return x
+
+
+def chol_solve_unrolled(L, b):
+  """A^-1 b via the unrolled factor; b: list of n [...] arrays."""
+  return trisolve_unrolled(L, trisolve_unrolled(L, b), transpose=True)
 
 
 def _matvec_unrolled(A, x):
@@ -135,7 +180,10 @@ def _smallest_eigvecs_power(A, k=1, iters=2):
   """
   n = A.shape[-1]
   reg = 1e-5 * jnp.trace(A)[..., None, None] / n
-  L = jax.lax.linalg.cholesky(A + reg * jnp.eye(n, dtype=A.dtype))
+  Areg = A + reg * jnp.eye(n, dtype=A.dtype)
+  # Unrolled batched Cholesky: pure VPU arithmetic over the hypothesis
+  # batch (lax.linalg solves serialize badly for tiny n, huge batch).
+  L = chol_unrolled(Areg)
   # Deterministic, linearly independent starting block.
   x0 = jnp.stack([jnp.ones(A.shape[:-2] + (n,), A.dtype)] + [
       jnp.broadcast_to(
@@ -153,13 +201,18 @@ def _smallest_eigvecs_power(A, k=1, iters=2):
       cols.append(v)
     return jnp.stack(cols, axis=-1)
 
-  def body(_, X):
-    y = jax.lax.linalg.triangular_solve(L, X, left_side=True, lower=True)
-    y = jax.lax.linalg.triangular_solve(L, y, left_side=True, lower=True,
-                                        transpose_a=True)
-    return orthonormalize(y)
+  def solve_block(X):
+    cols = []
+    for j in range(X.shape[-1]):
+      b = [X[..., i, j] for i in range(n)]
+      y = chol_solve_unrolled(L, b)
+      cols.append(jnp.stack(y, axis=-1))
+    return jnp.stack(cols, axis=-1)
 
-  return jax.lax.fori_loop(0, iters, body, orthonormalize(x0))
+  X = orthonormalize(x0)
+  for _ in range(iters):  # Unrolled (iters is tiny; enables fusion).
+    X = orthonormalize(solve_block(X))
+  return X
 
 
 def _smallest_eigvec_power(A, iters=2):
@@ -334,11 +387,8 @@ def refine_pose_gn(pts3d, uv, K, weights, R, t, iters=5, damping=1e-6):
     ww = jnp.concatenate([w, w], axis=0)
     JtJ = (J * ww[:, None]).T @ J + damping * jnp.eye(6)
     g = (J * ww[:, None]).T @ r
-    L = jax.lax.linalg.cholesky(JtJ)
-    y = jax.lax.linalg.triangular_solve(L, (-g)[:, None], left_side=True,
-                                        lower=True)
-    step = jax.lax.linalg.triangular_solve(L, y, left_side=True, lower=True,
-                                           transpose_a=True)[:, 0]
+    L = chol_unrolled(JtJ)
+    step = jnp.stack(chol_solve_unrolled(L, [-g[i] for i in range(6)]))
     dR = _rodrigues(step[:3])
     return dR @ R, mat_small_apply(dR, t) + step[3:]
 
