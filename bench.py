@@ -69,18 +69,19 @@ def main():
     logits, _ = epos_model.multi_scale_logits(model, v, im)
     b, h, w, _ = logits[common.PRED_OBJ_CONF].shape
     return (jax.nn.softmax(logits[common.PRED_OBJ_CONF], -1),
-            logits[common.PRED_FRAG_CONF].reshape(
-                b, h, w, num_objs, num_frags),
+            jax.nn.softmax(logits[common.PRED_FRAG_CONF].reshape(
+                b, h, w, num_objs, num_frags), -1),
             logits[common.PRED_FRAG_LOC].reshape(
                 b, h, w, num_objs, num_frags, 3))
   predict = jax.jit(_predict)
 
   @jax.jit
   def extract(preds):
-    obj_conf, frag_logits, frag_loc = preds
-    # Pallas-fused candidate selection (ops/corresp_pallas.py).
-    return corresp_lib.establish_many_to_many_fused(
-        obj_conf[0], frag_logits[0], frag_loc[0], frag_centers, frag_sizes,
+    obj_conf, frag_conf, frag_loc = preds
+    # XLA two-stage selection (the Pallas kernel wins only at f>=128,
+    # see InferenceEngine policy).
+    return corresp_lib.establish_many_to_many(
+        obj_conf[0], frag_conf[0], frag_loc[0], frag_centers, frag_sizes,
         output_scale=0.25, capacity=cfg.max_corrs_per_obj)
 
   @jax.jit

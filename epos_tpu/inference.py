@@ -35,10 +35,12 @@ class InferenceEngine:
     self.num_objs = num_objs
     self.time_stages = time_stages
     if use_pallas is None:
-      # The fused Pallas selection skips the [h,w,O,F] softmax tensor; the
-      # dense prediction dict is then unavailable, so visualization runs
-      # keep the unfused path.
-      use_pallas = (jax.devices()[0].platform == 'tpu' and not cfg.vis)
+      # Measured policy (v5e): XLA's fused softmax+top-k wins at f64
+      # (11ms vs 18ms), while the Pallas kernel wins at f256 (26ms vs
+      # 64ms) by never materializing the [h,w,O,F] softmax tensor (412MB).
+      # Visualization runs need the dense prediction dict -> unfused.
+      use_pallas = (jax.devices()[0].platform == 'tpu' and not cfg.vis
+                    and cfg.num_frags >= 128)
     self.use_pallas = use_pallas
     crop_w, crop_h = crop_size or cfg.infer_crop_size
     stride = (min(cfg.decoder_output_stride)

@@ -77,7 +77,17 @@ def select_candidates(obj_confs, frag_logits, top_t=4, min_obj_conf=0.1,
   """
   h, w, num_objs, num_frags = frag_logits.shape
   npx = h * w
-  npx_pad = ((npx + TILE_PX - 1) // TILE_PX) * TILE_PX
+  # Prefer a tile that divides npx exactly (no pad/slice copies of the
+  # ~100MB logits): largest multiple-of-8 divisor <= 2048 (the kernel's
+  # live intermediates are ~6x the block -> stay under the 16MB VMEM), else
+  # fall back to padding with TILE_PX.
+  tile = 0
+  for cand in range(min(2048, npx), 7, -1):
+    if npx % cand == 0 and cand % 8 == 0:
+      tile = cand
+      break
+  tile = tile or TILE_PX
+  npx_pad = ((npx + tile - 1) // tile) * tile
 
   # [O, npx, F]: TPU Pallas needs the lane dim (F) to equal the array's
   # last dim; the natural [npx, O*F] layout cannot be lane-sliced per
@@ -89,26 +99,28 @@ def select_candidates(obj_confs, frag_logits, top_t=4, min_obj_conf=0.1,
     # Padding pixels get zero object confidence -> fail tau_a -> conf 0.
     fl = jnp.pad(fl, ((0, 0), (0, npx_pad - npx), (0, 0)))
     obj_t = jnp.pad(obj_t, ((0, 0), (0, npx_pad - npx), (0, 0)))
+  out_slice = (slice(None), slice(0, npx)) if npx_pad != npx else \
+      (slice(None), slice(None))
 
   kernel = functools.partial(
       _select_kernel, num_frags=num_frags, top_t=top_t,
       min_obj_conf=min_obj_conf, min_frag_rel_conf=min_frag_rel_conf)
 
-  grid = (num_objs, npx_pad // TILE_PX)
+  grid = (num_objs, npx_pad // tile)
   interpret = jax.devices()[0].platform != 'tpu'
   conf, idx = pl.pallas_call(
       kernel,
       grid=grid,
       in_specs=[
-          pl.BlockSpec((1, TILE_PX, 1), lambda o, p: (o, p, 0),
+          pl.BlockSpec((1, tile, 1), lambda o, p: (o, p, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, TILE_PX, num_frags), lambda o, p: (o, p, 0),
+          pl.BlockSpec((1, tile, num_frags), lambda o, p: (o, p, 0),
                        memory_space=pltpu.VMEM),
       ],
       out_specs=[
-          pl.BlockSpec((1, TILE_PX, top_t), lambda o, p: (o, p, 0),
+          pl.BlockSpec((1, tile, top_t), lambda o, p: (o, p, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, TILE_PX, top_t), lambda o, p: (o, p, 0),
+          pl.BlockSpec((1, tile, top_t), lambda o, p: (o, p, 0),
                        memory_space=pltpu.VMEM),
       ],
       out_shape=[
@@ -117,4 +129,4 @@ def select_candidates(obj_confs, frag_logits, top_t=4, min_obj_conf=0.1,
       ],
       interpret=interpret,
   )(obj_t, fl)
-  return conf[:, :npx], idx[:, :npx]
+  return conf[out_slice], idx[out_slice]
