@@ -39,7 +39,9 @@ def mat_small_apply(A, x):
 
 
 def _control_points(pts, w):
-  """Weighted PCA control points. pts [n,3], w [n] -> (ctrl [4,3], c0, axes)."""
+  """Weighted PCA control points (textbook EPnP choice — axis-aligned
+  frames measurably hurt planar-case accuracy). pts [n,3], w [n] ->
+  (ctrl [4,3], c0, eigvec, s)."""
   wsum = jnp.maximum(jnp.sum(w), _EPS)
   c0 = jnp.sum(pts * w[:, None], axis=0) / wsum
   centered = (pts - c0) * jnp.sqrt(w)[:, None]
