@@ -16,6 +16,14 @@ import jax
 import jax.numpy as jnp
 
 _EPS = 1e-9
+# TPU matmuls default to bfloat16 precision; the EPnP normal equations have
+# condition numbers ~1e6+ (the smallest eigenvalue IS the signal), so every
+# small matmul here forces full-f32 accumulation.
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+  return jnp.matmul(a, b, precision=_HI)
 
 
 def mat3_apply(R, pts):
@@ -45,7 +53,7 @@ def _control_points(pts, w):
   wsum = jnp.maximum(jnp.sum(w), _EPS)
   c0 = jnp.sum(pts * w[:, None], axis=0) / wsum
   centered = (pts - c0) * jnp.sqrt(w)[:, None]
-  cov = centered.T @ centered / wsum
+  cov = _mm(centered.T, centered) / wsum
   eigval, eigvec = jnp.linalg.eigh(cov)          # ascending
   s = jnp.sqrt(jnp.maximum(eigval, 1e-8))
   ctrl = jnp.concatenate([c0[None], c0[None] + (s[:, None] * eigvec.T)],
@@ -105,8 +113,8 @@ def _gauss_newton_betas(V, dist_w_sq, beta0, iters=5):
     f = jnp.sum(diff * diff, axis=1) - dist_w_sq  # [6]
     # Jacobian df/dbeta = 2 * diff . dv
     J = 2.0 * jnp.einsum('pk,bpk->pb', diff, dv)  # [6, nb]
-    JtJ = J.T @ J + 1e-9 * jnp.eye(J.shape[1])
-    g = J.T @ f
+    JtJ = _mm(J.T, J) + 1e-9 * jnp.eye(J.shape[1])
+    g = _mm(J.T, f[:, None])[:, 0]
     nb = JtJ.shape[-1]
     L = chol_unrolled(JtJ)
     step = chol_solve_unrolled(L, [g[i] for i in range(nb)])
@@ -244,7 +252,7 @@ def _kabsch(src, dst, w, iters=64):
   wsum = jnp.maximum(jnp.sum(w), _EPS)
   ms = jnp.sum(src * w[:, None], axis=0) / wsum
   md = jnp.sum(dst * w[:, None], axis=0) / wsum
-  S = ((src - ms) * w[:, None]).T @ (dst - md)    # [3, 3], big contraction.
+  S = _mm(((src - ms) * w[:, None]).T, dst - md)  # [3, 3], big contraction.
   Sxx, Sxy, Sxz = S[0, 0], S[0, 1], S[0, 2]
   Syx, Syy, Syz = S[1, 0], S[1, 1], S[1, 2]
   Szx, Szy, Szz = S[2, 0], S[2, 1], S[2, 2]
@@ -286,7 +294,7 @@ def solve_epnp(pts3d, uv, K, weights, gn_iters=5, num_basis=4):
   ctrl_w, c0, eigvec, s = _control_points(pts3d, w)
   alphas = _alphas(pts3d, c0, eigvec, s)
   M = _build_M(alphas, uv, K, w)
-  MtM = M.T @ M
+  MtM = _mm(M.T, M)
   _, dw2 = _ctrl_dists(ctrl_w)
 
   def finish(ctrl_c):
@@ -387,8 +395,8 @@ def refine_pose_gn(pts3d, uv, K, weights, R, t, iters=5, damping=1e-6):
     J = jnp.concatenate([Ju, Jv], axis=0)          # [2n, 6]
     r = jnp.concatenate([ru, rv], axis=0)
     ww = jnp.concatenate([w, w], axis=0)
-    JtJ = (J * ww[:, None]).T @ J + damping * jnp.eye(6)
-    g = (J * ww[:, None]).T @ r
+    JtJ = _mm((J * ww[:, None]).T, J) + damping * jnp.eye(6)
+    g = _mm((J * ww[:, None]).T, r[:, None])[:, 0]
     L = chol_unrolled(JtJ)
     step = jnp.stack(chol_solve_unrolled(L, [-g[i] for i in range(6)]))
     dR = _rodrigues(step[:3])
