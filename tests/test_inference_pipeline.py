@@ -164,3 +164,38 @@ def test_agnostic_heads_inference():
     poses, rt, extras = engine.process_image(sample,
                                              rng=jax.random.PRNGKey(2))
     assert isinstance(poses, list)  # Runs without shape errors.
+
+
+def test_engine_image_pyramid():
+  """Multi-scale image pyramid through the engine (model.py:517-626)."""
+  import jax
+  from epos_tpu import common
+  from epos_tpu.config import Config
+  from epos_tpu.inference import InferenceEngine
+  from epos_tpu.models import epos_model
+
+  cfg = Config(num_frags=4, model_variant='xception_micro',
+               atrous_rates=[2, 4], compute_dtype='float32',
+               infer_crop_size=[64, 64], max_corrs_per_obj=64,
+               max_fitting_iterations=8, max_instances_to_fit=1,
+               image_pyramid=[1.0, 0.5], merge_method='avg',
+               task_type='detection')
+  model = epos_model.build_model(cfg, 1)
+  im = jnp.asarray(np.random.default_rng(3).uniform(0, 255, (64, 64, 3)),
+                   jnp.float32)
+  variables = model.init(jax.random.PRNGKey(0), im[None], train=False)
+
+  class Store:
+    def frag_arrays(self, n=None):
+      r = np.random.default_rng(0)
+      return (r.uniform(-40, 40, (1, 4, 3)).astype(np.float32),
+              r.uniform(10, 30, (1, 4)).astype(np.float32))
+
+  engine = InferenceEngine(cfg, model, variables, Store(), 1,
+                           crop_size=(64, 64))
+  sample = {common.IMAGE: im,
+            common.K: np.array([[60.0, 0, 32], [0, 60, 32], [0, 0, 1]],
+                               np.float32),
+            common.SCENE_ID: np.int32(0), common.IM_ID: np.int32(0)}
+  poses, rt, _ = engine.process_image(sample, rng=jax.random.PRNGKey(1))
+  assert isinstance(poses, list)

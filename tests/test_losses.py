@@ -114,3 +114,37 @@ def test_losses_jit_and_grad():
   glc = np.asarray(g[0]).reshape(1, H, W, NUM_OBJS, NUM_FRAGS)
   assert np.abs(glc[0, 3, 3]).sum() == 0.0
   assert np.abs(glc[0, 0, 0, 1]).sum() > 0.0
+
+
+def test_frag_losses_topk3():
+  """gt_knn_frags > 1: each of the top-k target fragments contributes a row
+  (reference loss.py:186-224 tiling semantics)."""
+  r = rng(5)
+  top_k = 3
+  lc = jnp.asarray(r.normal(size=(1, H, W, NUM_OBJS * NUM_FRAGS)),
+                   jnp.float32)
+  ll = jnp.asarray(r.normal(size=(1, H, W, NUM_OBJS * NUM_FRAGS * 3)),
+                   jnp.float32)
+  obj = np.zeros((1, H, W), np.int32)
+  obj[0, 0, 0] = 1
+  ft = jnp.asarray(r.integers(0, NUM_FRAGS, size=(1, H, W, top_k)))
+  fw = jnp.ones((1, H, W, top_k), jnp.float32)
+  lt = jnp.asarray(r.normal(size=(1, H, W, top_k, 3)), jnp.float32)
+
+  loss_cls = losses.frag_cls_loss(lc, ft, fw, jnp.asarray(obj),
+                                  NUM_OBJS, NUM_FRAGS)
+  loss_loc = losses.frag_loc_loss(ll, ft, fw, lt, jnp.asarray(obj),
+                                  NUM_OBJS, NUM_FRAGS)
+  # Manual: mean over the top_k rows of the single fg pixel (cls idx 0).
+  lc5 = np.asarray(lc).reshape(1, H, W, NUM_OBJS, NUM_FRAGS)
+  lp = np.asarray(jax.nn.log_softmax(jnp.asarray(lc5[0, 0, 0, 0])))
+  manual_cls = -np.mean([lp[int(ft[0, 0, 0, k])] for k in range(top_k)])
+  np.testing.assert_allclose(float(loss_cls), manual_cls, rtol=1e-5)
+
+  ll6 = np.asarray(ll).reshape(1, H, W, NUM_OBJS, NUM_FRAGS, 3)
+  hs = []
+  for k in range(top_k):
+    d = ll6[0, 0, 0, 0, int(ft[0, 0, 0, k])] - np.asarray(lt[0, 0, 0, k])
+    hs.append(np.where(np.abs(d) <= 1, 0.5 * d * d, np.abs(d) - 0.5))
+  manual_loc = np.mean(hs)
+  np.testing.assert_allclose(float(loss_loc), manual_loc, rtol=1e-5)
