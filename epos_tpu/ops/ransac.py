@@ -11,12 +11,24 @@ SURVEY.md §2.3). Redesigned for XLA:
   masked Gumbel top-k -> distinct indices, optionally weighted by confidence
   (PROSAC-flavored sampling, infer.py:98-100).
 - Multi-instance estimation follows the Progressive-X philosophy: fit the
-  best instance, consume its inliers, repeat (a lax.fori_loop with a fixed
-  instance capacity) — replacing PEARL's alternating optimization with
-  greedy sequential coverage. Each accepted pose must reach the coverage
-  quality tau_q (min_hypothesis_quality, infer.py:84-86).
+  best instance, consume its inliers, repeat (a lax.while_loop with a fixed
+  instance capacity and an early exit once a round fails) — replacing
+  PEARL's alternating optimization with greedy sequential coverage.
+- Acceptance (tau_q = min_hypothesis_quality, infer.py:84-86) is
+  *instance-relative*: a pose is kept if its inlier pixel coverage reaches
+  tau_q x the largest accepted instance's coverage (the first instance
+  trivially passes) and it has >= min_corrs inliers. An absolute
+  denominator (all of the object's correspondences) would cap the i-th
+  instance of one object near 1/N and make crowded scenes unfittable at the
+  default tau_q=0.5; the relative rule keeps every same-scale instance and
+  rejects small spurious clusters, matching Progressive-X's behavior of
+  returning all well-supported models (infer.py:459-466: num_instances=-1
+  returns "all found poses"). Inliers of REJECTED hypotheses are never
+  consumed, so one bad round cannot starve later instances.
 - Everything is fixed-shape: consumed-correspondence masks instead of
-  shrinking arrays.
+  shrinking arrays. Accepted instances have disjoint inlier sets by
+  construction (consumed correspondences leave the pool), which subsumes
+  the reference's Tanimoto-similarity dedup (max_tanimoto_similarity).
 
 The per-pose refinement runs iterated weighted EPnP on the inlier set
 (re-estimating inliers between iterations) — the counterpart of GC-RANSAC's
@@ -129,28 +141,42 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
     inliers = (e < inlier_thresh) & avail
     score = jnp.sum(inliers * conf)
     cov_in = _coverage(px_id, inliers, npx)
-    cov_all = _coverage(px_id, valid, npx)
-    quality = cov_in / jnp.maximum(cov_all, 1.0)
-    return R_b, t_b, inliers, score, quality
+    return R_b, t_b, inliers, score, cov_in
 
-  def body(i, carry):
-    consumed, out = carry
+  def cond(carry):
+    i, _, _, go = carry
+    return go & (i < max_instances)
+
+  def body(carry):
+    i, consumed, out, _ = carry
     avail = valid & ~consumed
     enough = jnp.sum(avail) >= min_corrs
     want = i < num_instances
     key = jax.random.fold_in(rng, i)
-    R, t, inliers, score, quality = fit_one(avail, key)
-    accept = enough & want & (quality >= min_quality)
-    consumed = consumed | (inliers & (enough & want))
+    R, t, inliers, score, cov_in = fit_one(avail, key)
+    n_in = jnp.sum(inliers)
+    # Instance-relative quality: coverage vs the best accepted instance so
+    # far (first instance compares against itself, i.e. passes tau_q).
+    best_cov = jnp.max(out.quality * out.valid, initial=0.0)
+    quality = cov_in / jnp.maximum(jnp.maximum(best_cov, cov_in), 1.0)
+    accept = enough & want & (quality >= min_quality) & (n_in >= min_corrs)
+    # Only accepted poses consume their inliers; a rejected round cannot
+    # starve later instances of this object.
+    consumed = consumed | (inliers & accept)
     out = FitResult(
         R=out.R.at[i].set(jnp.where(accept, R, jnp.eye(3))),
         t=out.t.at[i].set(jnp.where(accept, t, 0.0)),
-        quality=out.quality.at[i].set(jnp.where(accept, quality, 0.0)),
+        # quality stores the inlier PIXEL COVERAGE of the instance; valid
+        # poses of one object are mutually comparable through it.
+        quality=out.quality.at[i].set(jnp.where(accept, cov_in, 0.0)),
         score=out.score.at[i].set(jnp.where(accept, score, 0.0)),
         num_inliers=out.num_inliers.at[i].set(
-            jnp.where(accept, jnp.sum(inliers), 0).astype(jnp.int32)),
+            jnp.where(accept, n_in, 0).astype(jnp.int32)),
         valid=out.valid.at[i].set(accept))
-    return consumed, out
+    # Progressive-X stops when the proposal round yields no acceptable
+    # model; nothing was consumed, so the next round would refit the same
+    # rejected pose.
+    return i + 1, consumed, out, accept
 
   init = FitResult(
       R=jnp.tile(jnp.eye(3)[None], (max_instances, 1, 1)),
@@ -159,8 +185,15 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
       score=jnp.zeros((max_instances,)),
       num_inliers=jnp.zeros((max_instances,), jnp.int32),
       valid=jnp.zeros((max_instances,), bool))
-  _, out = jax.lax.fori_loop(
-      0, max_instances, body, (jnp.zeros((C,), bool), init))
+  _, _, out, _ = jax.lax.while_loop(
+      cond, body,
+      (jnp.asarray(0, jnp.int32), jnp.zeros((C,), bool), init,
+       jnp.asarray(True)))
+  # Normalize reported quality to [0, 1]: coverage fraction of the object's
+  # full correspondence pixel footprint (the reference's pose_qualities are
+  # per-object comparable scores, infer.py:497-503).
+  cov_all = _coverage(px_id, valid, npx)
+  out = out._replace(quality=out.quality / jnp.maximum(cov_all, 1.0))
   return out
 
 
