@@ -116,7 +116,10 @@ def make_optimizer(cfg, params):
 def create_train_state(cfg, num_objs, rng, sample_image):
   """Initializes model + optimizer. sample_image: [B, H, W, 3]."""
   model = epos_model.build_model(cfg, num_objs)
-  variables = model.init(rng, sample_image, train=False)
+  # Jitted init: unjitted model.init dispatches op-by-op (minutes on a
+  # tunneled TPU).
+  variables = jax.jit(
+      lambda rng, im: model.init(rng, im, train=False))(rng, sample_image)
   params = variables['params']
   batch_stats = variables.get('batch_stats', {})
   tx = make_optimizer(cfg, params)
