@@ -42,8 +42,23 @@ class Correspondences(NamedTuple):
 def establish_many_to_many(obj_confs, frag_confs, frag_coords, frag_centers,
                            frag_sizes, output_scale, capacity=2048,
                            min_obj_conf=0.1, min_frag_rel_conf=0.5,
-                           obj_mask_enable=None, frags_per_pixel=4):
+                           obj_mask_enable=None):
   """Extracts correspondences for every object in one fused device pass.
+
+  EXACT reference semantics: every fragment passing tau_b contributes
+  (epos_lib/corresp.py:63-67 keeps an unbounded number of fragments per
+  pixel — the mechanism EPOS uses for symmetric objects), truncated only by
+  the global per-object top-`capacity` by confidence (--max_correspondences,
+  infer.py:431-440).
+
+  Selection is two-stage for TPU efficiency, WITHOUT approximation: a
+  pixel's best survivor score (obj_conf * max frag conf — the argmax
+  fragment always passes tau_b against itself) upper-bounds all of that
+  pixel's survivors, so if a pixel is not among the top-`capacity` pixels
+  by best score, none of its correspondences can reach the global
+  top-`capacity` (there are already `capacity` distinct-pixel entries at or
+  above its bound). Stage 1 therefore takes the top-`capacity` pixels by
+  best score; stage 2 re-scores only those pixels' full fragment rows.
 
   Args:
     obj_confs: [h, w, num_objs + 1] softmax object confidences.
@@ -62,40 +77,35 @@ def establish_many_to_many(obj_confs, frag_confs, frag_coords, frag_centers,
     Correspondences (see class doc). Jittable; vmapped over objects.
   """
   h, w, num_objs, num_frags = frag_confs.shape
+  P = h * w
   if obj_mask_enable is None:
     obj_mask_enable = jnp.ones((num_objs,), bool)
 
   # Pixel-center image coordinates at input resolution (misc.py:14-26).
   ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / output_scale
   xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / output_scale
-  px_flat = jnp.arange(h * w, dtype=jnp.int32)
-
-  # Selection is two-stage for TPU efficiency: a single top_k over the full
-  # [h*w*F] score array is O(n log n)-ish over 1.2M elements per object;
-  # instead take the top `frags_per_pixel` fragments per pixel first (the
-  # relative threshold tau_b rarely passes more — it requires conf above
-  # half the per-pixel max), then top-K over the [h*w * T] survivors.
-  T = min(frags_per_pixel, num_frags)
+  n_pix = min(capacity, P)
 
   def per_object(o):
-    obj_conf = obj_confs[:, :, o + 1]                 # [h, w]
+    obj_conf = obj_confs[:, :, o + 1].reshape(-1)     # [P]
     obj_ok = (obj_conf > min_obj_conf) & obj_mask_enable[o]
-    fconf = frag_confs[:, :, o, :]                    # [h, w, F]
-    fmax = jnp.max(fconf, axis=-1, keepdims=True)
-    frag_ok = fconf > (fmax * min_frag_rel_conf)
-    ok = obj_ok[..., None] & frag_ok                  # [h, w, F]
+    fconf = frag_confs[:, :, o, :].reshape(P, num_frags)
+    fmax = jnp.max(fconf, axis=-1)                    # [P]
+    pix_best = jnp.where(obj_ok, obj_conf * fmax, 0.0)
 
-    conf_frag = fconf
-    conf = obj_conf[..., None] * conf_frag            # [h, w, F]
-    score = jnp.where(ok, conf, 0.0)                  # [h, w, F]
+    # Stage 1: top pixels by their best survivor score (exactness bound).
+    best_conf, pix_sel = jax.lax.top_k(pix_best, n_pix)
+    rows = fconf[pix_sel]                             # [n_pix, F]
+    rmax = jnp.max(rows, axis=-1, keepdims=True)
+    rok = (rows > rmax * min_frag_rel_conf) & (best_conf > 0.0)[:, None]
+    rscore = jnp.where(rok, obj_conf[pix_sel][:, None] * rows, 0.0)
 
-    # Stage 1: top-T fragments per pixel.
-    s1_conf, s1_frag = jax.lax.top_k(score, T)        # [h, w, T]
-    # Stage 2: top-K over all (pixel, slot) survivors.
-    top_conf, flat_idx = jax.lax.top_k(s1_conf.reshape(-1), capacity)
+    # Stage 2: global top-K over the selected pixels' survivors.
+    top_conf, flat_idx = jax.lax.top_k(rscore.reshape(-1), capacity)
     valid = top_conf > 0.0
-    pix = (flat_idx // T).astype(jnp.int32)
-    frag = s1_frag.reshape(-1)[flat_idx].astype(jnp.int32)
+    sel = (flat_idx // num_frags).astype(jnp.int32)
+    frag = (flat_idx % num_frags).astype(jnp.int32)
+    pix = pix_sel[sel].astype(jnp.int32)
     yy = pix // w
     xx = pix % w
 
@@ -104,8 +114,8 @@ def establish_many_to_many(obj_confs, frag_confs, frag_coords, frag_centers,
     centers = frag_centers[o, frag]
     sizes = frag_sizes[o, frag][:, None]
     c3d = centers + offsets * sizes
-    cobj = obj_conf[yy, xx]
-    cfrag = conf_frag[yy, xx, frag]
+    cobj = obj_conf[pix]
+    cfrag = rows[sel, frag]
 
     zero = lambda x: jnp.where(valid.reshape((-1,) + (1,) * (x.ndim - 1)),
                                x, 0)
@@ -120,12 +130,14 @@ def establish_many_to_many(obj_confs, frag_confs, frag_coords, frag_centers,
 def establish_many_to_many_fused(obj_confs, frag_logits, frag_coords,
                                  frag_centers, frag_sizes, output_scale,
                                  capacity=2048, min_obj_conf=0.1,
-                                 min_frag_rel_conf=0.5, obj_mask_enable=None,
-                                 frags_per_pixel=4):
-  """Pallas-fused variant: candidate selection runs as a TPU kernel over the
-  RAW fragment logits (softmax+thresholds+top-T fused, no [h,w,O,F] conf
-  tensor in HBM — ops/corresp_pallas.py); compaction and 3D reconstruction
-  stay in XLA. Semantics identical to establish_many_to_many.
+                                 min_frag_rel_conf=0.5, obj_mask_enable=None):
+  """Pallas-fused variant: per-pixel best-score selection runs as a TPU
+  kernel over the RAW fragment logits (softmax max + tau_a fused, no
+  [h,w,O,F] conf tensor in HBM — ops/corresp_pallas.py); the exact stage-2
+  re-scoring of the selected pixels' fragment rows (softmax + tau_b +
+  top-K) and 3D reconstruction stay in XLA on a sparse [capacity, F]
+  gather. Semantics identical to establish_many_to_many (exact, unbounded
+  fragments per pixel).
 
   Args differ from the unfused version in one place: frag_logits are the
   pre-softmax fragment logits [h, w, num_objs, num_frags].
@@ -133,37 +145,45 @@ def establish_many_to_many_fused(obj_confs, frag_logits, frag_coords,
   from epos_tpu.ops import corresp_pallas
 
   h, w, num_objs, num_frags = frag_logits.shape
-  T = min(frags_per_pixel, num_frags)
   npx = h * w
+  n_pix = min(capacity, npx)
 
-  conf_t, frag_t = corresp_pallas.select_candidates(
-      obj_confs, frag_logits, top_t=T, min_obj_conf=min_obj_conf,
-      min_frag_rel_conf=min_frag_rel_conf)          # [O, npx, T] each
+  best = corresp_pallas.best_scores(
+      obj_confs, frag_logits, min_obj_conf=min_obj_conf)   # [O, npx]
   if obj_mask_enable is not None:
-    conf_t = conf_t * obj_mask_enable[:, None, None]
+    best = best * obj_mask_enable[:, None]
 
   ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / output_scale
   xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / output_scale
   obj_flat = obj_confs.reshape(npx, num_objs + 1)
+  logits_flat = frag_logits.reshape(npx, num_objs, num_frags)
 
-  def per_object(o, conf_o, frag_o):
-    top_conf, flat_idx = jax.lax.top_k(conf_o.reshape(-1), capacity)
+  def per_object(o, best_o):
+    best_conf, pix_sel = jax.lax.top_k(best_o, n_pix)      # [n_pix]
+    rows = jax.nn.softmax(
+        logits_flat[pix_sel, o].astype(jnp.float32), axis=-1)
+    rmax = jnp.max(rows, axis=-1, keepdims=True)
+    rok = (rows > rmax * min_frag_rel_conf) & (best_conf > 0.0)[:, None]
+    cobj_sel = obj_flat[pix_sel, o + 1]
+    rscore = jnp.where(rok, cobj_sel[:, None] * rows, 0.0)
+
+    top_conf, flat_idx = jax.lax.top_k(rscore.reshape(-1), capacity)
     valid = top_conf > 0.0
-    pix = (flat_idx // T).astype(jnp.int32)
-    frag = frag_o.reshape(-1)[flat_idx].astype(jnp.int32)
-    frag = jnp.clip(frag, 0, num_frags - 1)
+    sel = (flat_idx // num_frags).astype(jnp.int32)
+    frag = (flat_idx % num_frags).astype(jnp.int32)
+    pix = pix_sel[sel].astype(jnp.int32)
     yy = pix // w
     xx = pix % w
     c2d = jnp.stack([xs[xx], ys[yy]], axis=1)
     offsets = frag_coords[yy, xx, o, frag]
     c3d = frag_centers[o, frag] + offsets * frag_sizes[o, frag][:, None]
-    cobj = obj_flat[pix, o + 1]
-    cfrag = top_conf / jnp.maximum(cobj, 1e-12)
+    cobj = cobj_sel[sel]
+    cfrag = rows[sel, frag]
     zero = lambda x: jnp.where(valid.reshape((-1,) + (1,) * (x.ndim - 1)),
                                x, 0)
     return (zero(c2d), zero(c3d), zero(top_conf), zero(cobj), zero(cfrag),
             jnp.where(valid, pix, 0), jnp.where(valid, frag, 0), valid,
             jnp.sum(valid).astype(jnp.int32))
 
-  outs = jax.vmap(per_object)(jnp.arange(num_objs), conf_t, frag_t)
+  outs = jax.vmap(per_object)(jnp.arange(num_objs), best)
   return Correspondences(*outs)

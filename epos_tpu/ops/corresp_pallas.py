@@ -4,13 +4,18 @@ Fuses, in one pass over the fragment-confidence LOGITS (epos_lib/corresp.py
 semantics, SURVEY.md §7.6):
   - softmax over fragments (per pixel, per object),
   - the object-confidence threshold tau_a,
-  - the relative fragment threshold tau_b (conf > tau_b * per-pixel max),
-  - confidence product P(frag|obj) * P(obj),
-  - per-pixel top-T fragment selection,
+  - the per-pixel BEST survivor score P(best frag | obj) * P(obj),
 without materializing the [h, w, O, F] softmax tensor in HBM (~100 MB for
-the YCB-V f64 flagship): the kernel reads logits once and writes only the
-compact [h*w, O, T] candidate buffers. The final global top-K compaction
-stays in XLA (tiny input).
+the YCB-V f64 flagship): the kernel reads logits once and writes only a
+compact [O, h*w] best-score map.
+
+The best score upper-bounds every tau_b survivor at that pixel (the argmax
+fragment always passes the relative threshold against itself), so the
+top-`capacity` pixels by best score provably contain all global
+top-`capacity` correspondences — the caller re-scores only those pixels'
+full fragment rows in XLA (a sparse [capacity, F] gather), keeping EXACT
+reference semantics with an unbounded number of fragments per pixel
+(epos_lib/corresp.py:63-67, the symmetric-object mechanism).
 
 Grid: (num_objs, pixel_tiles). Each program handles a [TILE_PX, F] logit
 block in VMEM.
@@ -26,60 +31,42 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_PX = 512
 
 
-def _select_kernel(obj_conf_ref, frag_logits_ref, conf_ref, idx_ref, *,
-                   num_frags, top_t, min_obj_conf, min_frag_rel_conf):
+def _best_score_kernel(obj_conf_ref, frag_logits_ref, best_ref, *,
+                       min_obj_conf):
   """One (object, pixel-tile) program.
 
   obj_conf_ref:    [TILE_PX, 1]  P(obj) at each pixel (softmaxed outside).
   frag_logits_ref: [TILE_PX, F]  fragment logits for this object.
-  conf_ref:        [TILE_PX, top_t] output confidences (0 = invalid).
-  idx_ref:         [TILE_PX, top_t] output fragment ids.
+  best_ref:        [TILE_PX, 1]  output best survivor score (0 = no
+                                 survivor / tau_a failed).
   """
-  logits = frag_logits_ref[0].astype(jnp.float32)       # [TILE_PX, F]
-  obj_conf = obj_conf_ref[0].astype(jnp.float32)          # [TILE_PX, 1]
+  logits = frag_logits_ref[0].astype(jnp.float32)          # [TILE_PX, F]
+  obj_conf = obj_conf_ref[0].astype(jnp.float32)           # [TILE_PX, 1]
 
-  # Softmax over fragments (lanes).
+  # max softmax prob == exp(max - max) / sum(exp(l - max)) = 1 / denom.
   m = jnp.max(logits, axis=1, keepdims=True)
-  e = jnp.exp(logits - m)
-  denom = jnp.sum(e, axis=1, keepdims=True)
-  probs = e / denom                                        # [TILE_PX, F]
+  denom = jnp.sum(jnp.exp(logits - m), axis=1, keepdims=True)
+  pmax = 1.0 / denom                                       # [TILE_PX, 1]
 
-  # Thresholds: tau_a on the object, tau_b relative on fragments
-  # (corresp.py:47,63-64).
-  pmax = jnp.max(probs, axis=1, keepdims=True)
-  ok = (probs > pmax * min_frag_rel_conf) & (obj_conf > min_obj_conf)
-  scores = jnp.where(ok, probs * obj_conf, 0.0)
-
-  lane_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-  # Iterative top-T: T passes of (max, first-argmax, mask).
-  for t in range(top_t):
-    best = jnp.max(scores, axis=1, keepdims=True)          # [TILE_PX, 1]
-    is_best = scores == best
-    # First index among ties.
-    best_idx = jnp.min(jnp.where(is_best, lane_ids, num_frags), axis=1,
-                       keepdims=True)
-    conf_ref[0, :, t] = best[:, 0]
-    idx_ref[0, :, t] = best_idx[:, 0]
-    scores = jnp.where(lane_ids == best_idx, 0.0, scores)
+  ok = obj_conf > min_obj_conf
+  best_ref[0] = jnp.where(ok, pmax * obj_conf, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    'top_t', 'min_obj_conf', 'min_frag_rel_conf'))
-def select_candidates(obj_confs, frag_logits, top_t=4, min_obj_conf=0.1,
-                      min_frag_rel_conf=0.5):
-  """Runs the fused selection kernel.
+@functools.partial(jax.jit, static_argnames=('min_obj_conf',))
+def best_scores(obj_confs, frag_logits, min_obj_conf=0.1):
+  """Runs the fused best-score kernel.
 
   Args:
     obj_confs: [h, w, num_objs + 1] softmax object confidences.
     frag_logits: [h, w, num_objs, num_frags] RAW fragment logits.
   Returns:
-    (conf [num_objs, h*w, top_t], frag_idx [num_objs, h*w, top_t]).
+    best [num_objs, h*w] float32 — per-pixel best survivor score.
   """
   h, w, num_objs, num_frags = frag_logits.shape
   npx = h * w
   # Prefer a tile that divides npx exactly (no pad/slice copies of the
   # ~100MB logits): largest multiple-of-8 divisor <= 2048 (the kernel's
-  # live intermediates are ~6x the block -> stay under the 16MB VMEM), else
+  # live intermediates are ~4x the block -> stay under the 16MB VMEM), else
   # fall back to padding with TILE_PX.
   tile = 0
   for cand in range(min(2048, npx), 7, -1):
@@ -99,16 +86,12 @@ def select_candidates(obj_confs, frag_logits, top_t=4, min_obj_conf=0.1,
     # Padding pixels get zero object confidence -> fail tau_a -> conf 0.
     fl = jnp.pad(fl, ((0, 0), (0, npx_pad - npx), (0, 0)))
     obj_t = jnp.pad(obj_t, ((0, 0), (0, npx_pad - npx), (0, 0)))
-  out_slice = (slice(None), slice(0, npx)) if npx_pad != npx else \
-      (slice(None), slice(None))
 
-  kernel = functools.partial(
-      _select_kernel, num_frags=num_frags, top_t=top_t,
-      min_obj_conf=min_obj_conf, min_frag_rel_conf=min_frag_rel_conf)
+  kernel = functools.partial(_best_score_kernel, min_obj_conf=min_obj_conf)
 
   grid = (num_objs, npx_pad // tile)
   interpret = jax.devices()[0].platform != 'tpu'
-  conf, idx = pl.pallas_call(
+  best = pl.pallas_call(
       kernel,
       grid=grid,
       in_specs=[
@@ -117,16 +100,9 @@ def select_candidates(obj_confs, frag_logits, top_t=4, min_obj_conf=0.1,
           pl.BlockSpec((1, tile, num_frags), lambda o, p: (o, p, 0),
                        memory_space=pltpu.VMEM),
       ],
-      out_specs=[
-          pl.BlockSpec((1, tile, top_t), lambda o, p: (o, p, 0),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, tile, top_t), lambda o, p: (o, p, 0),
-                       memory_space=pltpu.VMEM),
-      ],
-      out_shape=[
-          jax.ShapeDtypeStruct((num_objs, npx_pad, top_t), jnp.float32),
-          jax.ShapeDtypeStruct((num_objs, npx_pad, top_t), jnp.int32),
-      ],
+      out_specs=pl.BlockSpec((1, tile, 1), lambda o, p: (o, p, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((num_objs, npx_pad, 1), jnp.float32),
       interpret=interpret,
   )(obj_t, fl)
-  return conf[out_slice], idx[out_slice]
+  return best[:, :npx, 0]

@@ -127,7 +127,7 @@ def test_corresp_matches_reference_semantics():
   got = corresp_lib.establish_many_to_many(
       jnp.asarray(obj_confs), jnp.asarray(frag_confs),
       jnp.asarray(frag_coords), jnp.asarray(centers), jnp.asarray(sizes),
-      output_scale=0.25, capacity=h * w * F, frags_per_pixel=F)
+      output_scale=0.25, capacity=h * w * F)
   want = _np_establish(obj_confs, frag_confs, frag_coords, centers, sizes,
                        0.25, 0.1, 0.5)
 
@@ -145,6 +145,55 @@ def test_corresp_matches_reference_semantics():
                                exp['conf'][ei], rtol=1e-4)
     np.testing.assert_allclose(np.asarray(got.coord_2d[o][:cnt])[gi],
                                exp['coord_2d'][ei], rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.coord_3d[o][:cnt])[gi],
+                               exp['coord_3d'][ei], rtol=1e-3, atol=1e-3)
+
+
+def test_corresp_symmetric_object_unbounded_frags():
+  """Regression (VERDICT r1 #5): a symmetric object where 8+ fragments pass
+  tau_b at every object pixel (e.g. a T-LESS cylinder with ambiguous
+  fragments) must keep ALL of them — the extracted set matches the
+  reference oracle with the DEFAULT extraction config (no per-pixel cap)."""
+  r = np.random.default_rng(17)
+  h, w, O, F = 12, 16, 2, 16
+  S = 9  # fragments tied per pixel (> the old frags_per_pixel=4 cap)
+  obj_logits = r.normal(size=(h, w, O + 1)) * 2
+  obj_confs = np.asarray(jax.nn.softmax(jnp.asarray(obj_logits), -1))
+  # Fragment confidences: S near-equal winners, the rest far below tau_b.
+  frag_logits = np.full((h, w, O, F), -6.0)
+  winners = np.stack([r.permutation(F)[:S] for _ in range(h * w * O)])
+  winners = winners.reshape(h, w, O, S)
+  jitter = r.uniform(-0.05, 0.05, winners.shape)
+  np.put_along_axis(frag_logits, winners, 2.0 + jitter, axis=-1)
+  frag_confs = np.asarray(jax.nn.softmax(jnp.asarray(frag_logits), -1))
+  frag_coords = r.normal(size=(h, w, O, F, 3)).astype(np.float32)
+  centers = r.uniform(-40, 40, (O, F, 3))
+  sizes = r.uniform(5, 30, (O, F))
+
+  want = _np_establish(obj_confs, frag_confs, frag_coords, centers, sizes,
+                       0.25, 0.1, 0.5)
+  # The fixture really exceeds the old cap: some pixel has > 4 survivors.
+  max_survivors = max(
+      int((frag_confs[y, x, o] >
+           frag_confs[y, x, o].max() * 0.5).sum())
+      for y in range(h) for x in range(w) for o in range(O))
+  assert max_survivors > 4, max_survivors
+
+  got = corresp_lib.establish_many_to_many(
+      jnp.asarray(obj_confs), jnp.asarray(frag_confs),
+      jnp.asarray(frag_coords), jnp.asarray(centers), jnp.asarray(sizes),
+      output_scale=0.25, capacity=2048)
+  for o in range(O):
+    cnt = int(got.count[o])
+    exp = want.get(o + 1)
+    if exp is None:
+      assert cnt == 0
+      continue
+    assert cnt == min(exp['conf'].shape[0], 2048)
+    gi = np.argsort(-np.asarray(got.conf[o][:cnt]))
+    ei = np.argsort(-exp['conf'])[:cnt]
+    np.testing.assert_allclose(np.asarray(got.conf[o][:cnt])[gi],
+                               exp['conf'][ei], rtol=1e-4)
     np.testing.assert_allclose(np.asarray(got.coord_3d[o][:cnt])[gi],
                                exp['coord_3d'][ei], rtol=1e-3, atol=1e-3)
 
@@ -323,10 +372,10 @@ def test_fused_corresp_matches_unfused():
 
   a = corresp_lib.establish_many_to_many(
       obj_confs, frag_confs, frag_coords, centers, sizes, 0.25,
-      capacity=256, frags_per_pixel=4)
+      capacity=256)
   b = corresp_lib.establish_many_to_many_fused(
       obj_confs, frag_logits, frag_coords, centers, sizes, 0.25,
-      capacity=256, frags_per_pixel=4)
+      capacity=256)
   np.testing.assert_array_equal(np.asarray(a.count), np.asarray(b.count))
   for o in range(O):
     n = int(a.count[o])
