@@ -62,8 +62,12 @@ class Config:
   encoder_output_stride: int = 8
   decoder_use_separable_conv: bool = True
   merge_method: str = 'max'
+  # [compat] accepted and inert — inert in the REFERENCE too: stored into
+  # ModelOptions (common.py:225,282) but never read anywhere (grep-verified).
   prediction_with_upsampled_logits: bool = True
   use_bounded_activation: bool = False
+  # Train losses at GT resolution with upsampled logits (loss.py:129-133;
+  # GT maps are then generated at stride 1, train.py:441-446).
   upsample_logits: bool = False
 
   # --- Training flags (reference: scripts/train.py:29-159) ---
@@ -83,7 +87,6 @@ class Config:
   slow_start_learning_rate: float = 1e-4
   last_layer_gradient_multiplier: float = 1.0
   last_layers_contain_logits_only: bool = False
-  upsample_logits_train: bool = False
   train_steps: int = 2000000
   train_batch_size: int = 1
   train_max_height_before_crop: int = 480

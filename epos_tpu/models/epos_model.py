@@ -32,11 +32,18 @@ from epos_tpu.models.layers import (
 
 
 def _backbone(variant, output_stride, multi_grid, dtype,
-              depth_multiplier=1.0, divisible_by=None):
+              depth_multiplier=1.0, divisible_by=None, bounded=False):
   if variant.startswith('xception'):
     return xception_lib.Xception(
         variant=variant, output_stride=output_stride, multi_grid=multi_grid,
-        dtype=dtype, name=variant)
+        bounded=bounded, dtype=dtype, name=variant)
+  if bounded:
+    # The reference threads use_bounded_activation only into the xception
+    # family (net_xception.py:741-795); resnet/mobilenet arg scopes ignore
+    # it (feature.py:133-142).
+    raise ValueError(
+        'use_bounded_activation is only supported for xception variants '
+        f'(got {variant}) — matching the reference arg scopes.')
   if variant.startswith('resnet'):
     return resnet_lib.ResNetV1(
         variant=variant, output_stride=output_stride, multi_grid=multi_grid,
@@ -66,7 +73,10 @@ class EposNet(nn.Module):
   atrous_rates: Sequence[int] = (12, 24, 36)
   multi_grid: Optional[Sequence[int]] = None
   add_image_level_feature: bool = True
+  aspp_with_batch_norm: bool = True
   aspp_with_separable_conv: bool = True
+  logits_kernel_size: int = 1
+  use_bounded_activation: bool = False
   decoder_output_stride: int = 4
   decoder_use_separable_conv: bool = True
   frag_cls_agnostic: bool = False
@@ -81,47 +91,63 @@ class EposNet(nn.Module):
     """images: [B, H, W, 3] raw RGB in [0, 255]. Returns dict of logit maps
     at the decoder output stride, float32."""
     b, im_h, im_w, _ = images.shape
+    bounded = self.use_bounded_activation
+    # Reference validation (model.py:421-424): with the BN-ASPP module the
+    # heads must be plain 1x1 convs.
+    if self.aspp_with_batch_norm and self.logits_kernel_size != 1:
+      raise ValueError(
+          'Kernel size must be 1 when using aspp_with_batch_norm, got '
+          f'{self.logits_kernel_size} (reference model.py:421-424).')
     # BN trains only when also fine-tuning batch norm (reference:
     # model.py:195, train.py passes fine_tune_batch_norm).
     bn_train = train and self.fine_tune_batch_norm
     x = preprocess_image(images, self.model_variant, self.dtype)
     features, endpoints = _backbone(
         self.model_variant, self.encoder_output_stride, self.multi_grid,
-        self.dtype, self.depth_multiplier, self.divisible_by)(x, bn_train)
+        self.dtype, self.depth_multiplier, self.divisible_by,
+        bounded=bounded)(x, bn_train)
 
-    # --- ASPP (model.py:187-265) ---
     depth = 256
-    branches = []
-    if self.add_image_level_feature:
-      img_feat = jnp.mean(features, axis=(1, 2), keepdims=True)
-      img_feat = ConvBN(depth, 1, act=True, dtype=self.dtype,
-                        name='image_pooling')(img_feat, bn_train)
-      img_feat = jnp.broadcast_to(
-          img_feat, (b, features.shape[1], features.shape[2], depth))
-      branches.append(img_feat)
-    branches.append(
-        ConvBN(depth, 1, act=True, dtype=self.dtype, name='aspp0')(
-            features, bn_train))
-    for i, rate in enumerate(self.atrous_rates, 1):
-      if self.aspp_with_separable_conv:
-        branches.append(SplitSeparableConv(
-            depth, rate=rate, dtype=self.dtype, name=f'aspp{i}')(
-                features, bn_train))
-      else:
-        branches.append(ConvBN(depth, 3, rate=rate, act=True,
-                               dtype=self.dtype, name=f'aspp{i}')(
-                                   features, bn_train))
-    x = jnp.concatenate(branches, axis=-1)
-    x = ConvBN(depth, 1, act=True, dtype=self.dtype,
-               name='concat_projection')(x, bn_train)
-    x = nn.Dropout(rate=0.1, deterministic=not train,
-                   name='concat_projection_dropout')(x)
+    if self.aspp_with_batch_norm:
+      # --- ASPP (model.py:187-265) ---
+      branches = []
+      if self.add_image_level_feature:
+        img_feat = jnp.mean(features, axis=(1, 2), keepdims=True)
+        img_feat = ConvBN(depth, 1, act=True, bounded=bounded,
+                          dtype=self.dtype, name='image_pooling')(
+                              img_feat, bn_train)
+        img_feat = jnp.broadcast_to(
+            img_feat, (b, features.shape[1], features.shape[2], depth))
+        branches.append(img_feat)
+      branches.append(
+          ConvBN(depth, 1, act=True, bounded=bounded, dtype=self.dtype,
+                 name='aspp0')(features, bn_train))
+      for i, rate in enumerate(self.atrous_rates, 1):
+        if self.aspp_with_separable_conv:
+          branches.append(SplitSeparableConv(
+              depth, rate=rate, bounded=bounded, dtype=self.dtype,
+              name=f'aspp{i}')(features, bn_train))
+        else:
+          branches.append(ConvBN(depth, 3, rate=rate, act=True,
+                                 bounded=bounded, dtype=self.dtype,
+                                 name=f'aspp{i}')(features, bn_train))
+      x = jnp.concatenate(branches, axis=-1)
+      x = ConvBN(depth, 1, act=True, bounded=bounded, dtype=self.dtype,
+                 name='concat_projection')(x, bn_train)
+      x = nn.Dropout(rate=0.1, deterministic=not train,
+                     name='concat_projection_dropout')(x)
+    else:
+      # aspp_with_batch_norm=False skips the ASPP module entirely; the
+      # atrous pyramid moves into the heads (extract_encoder_features
+      # returns the raw backbone features, model.py:187-189, and
+      # get_branch_logits grows per-rate branches, model.py:396-458).
+      x = features
 
     # --- Decoder (model.py:268-393) ---
     if self.decoder_output_stride:
       stride = self.decoder_output_stride
       skip = endpoints[_decoder_endpoint(self.model_variant)]
-      skip = ConvBN(48, 1, act=True, dtype=self.dtype,
+      skip = ConvBN(48, 1, act=True, bounded=bounded, dtype=self.dtype,
                     name='decoder/feature_projection0')(skip, bn_train)
       out_h = scale_dimension(im_h, 1.0 / stride)
       out_w = scale_dimension(im_w, 1.0 / stride)
@@ -129,26 +155,40 @@ class EposNet(nn.Module):
       skip = resize_bilinear(skip, (out_h, out_w))
       x = jnp.concatenate([x, skip], axis=-1)
       if self.decoder_use_separable_conv:
-        x = SplitSeparableConv(depth, dtype=self.dtype,
+        x = SplitSeparableConv(depth, bounded=bounded, dtype=self.dtype,
                                name='decoder/decoder_conv0')(x, bn_train)
-        x = SplitSeparableConv(depth, dtype=self.dtype,
+        x = SplitSeparableConv(depth, bounded=bounded, dtype=self.dtype,
                                name='decoder/decoder_conv1')(x, bn_train)
       else:
-        x = ConvBN(depth, 3, act=True, dtype=self.dtype,
+        x = ConvBN(depth, 3, act=True, bounded=bounded, dtype=self.dtype,
                    name='decoder/decoder_conv0')(x, bn_train)
-        x = ConvBN(depth, 3, act=True, dtype=self.dtype,
+        x = ConvBN(depth, 3, act=True, bounded=bounded, dtype=self.dtype,
                    name='decoder/decoder_conv1')(x, bn_train)
 
-    # --- Heads (model.py:396-458): plain 1x1 convs with bias, no BN/act ---
+    # --- Heads (model.py:396-458): plain convs with bias, no BN/act. With
+    # aspp_with_batch_norm a single 1x1 branch; without it, one branch per
+    # atrous rate (kernel logits_kernel_size), sum-merged, with TF1 scopes
+    # 'logits/<out>', 'logits/<out>_1', ... (model.py:440-456). ---
     head_widths = common.get_outputs_to_num_channels(
         self.num_objs, self.num_frags, self.frag_cls_agnostic,
         self.frag_loc_agnostic)
+    if self.aspp_with_batch_norm or not self.atrous_rates:
+      head_rates = [1]
+      k = 1
+    else:
+      head_rates = list(self.atrous_rates)
+      k = self.logits_kernel_size
     init = nn.initializers.truncated_normal(stddev=0.01)
     logits = {}
     for name, width in sorted(head_widths.items()):
-      logits[name] = nn.Conv(
-          width, (1, 1), padding='SAME', kernel_init=init,
-          dtype=self.dtype, name=f'logits/{name}')(x).astype(jnp.float32)
+      branch_logits = []
+      for i, rate in enumerate(head_rates):
+        scope = f'logits/{name}' if i == 0 else f'logits/{name}_{i}'
+        branch_logits.append(nn.Conv(
+            width, (k, k), kernel_dilation=(rate, rate), padding='SAME',
+            kernel_init=init, dtype=self.dtype,
+            name=scope)(x).astype(jnp.float32))
+      logits[name] = sum(branch_logits)
     return logits
 
 
@@ -165,7 +205,10 @@ def build_model(cfg, num_objs, dtype=None):
       atrous_rates=tuple(cfg.atrous_rates or ()),
       multi_grid=tuple(cfg.multi_grid) if cfg.multi_grid else None,
       add_image_level_feature=cfg.add_image_level_feature,
+      aspp_with_batch_norm=cfg.aspp_with_batch_norm,
       aspp_with_separable_conv=cfg.aspp_with_separable_conv,
+      logits_kernel_size=cfg.logits_kernel_size,
+      use_bounded_activation=cfg.use_bounded_activation,
       decoder_output_stride=dec_os,
       decoder_use_separable_conv=cfg.decoder_use_separable_conv,
       frag_cls_agnostic=cfg.frag_cls_agnostic,
@@ -185,10 +228,14 @@ def output_size(crop_size, output_stride):
 
 def multi_scale_logits(model, variables, images, image_pyramid=None,
                        merge_method='max', train=False, rngs=None,
-                       mutable=False):
+                       mutable=False, return_scales=False):
   """Image-pyramid evaluation with max/avg logit merging (model.py:517-626).
 
-  Returns (dict output_name -> merged logits at base output size, new_state).
+  Returns (dict output_name -> merged logits at base output size, new_state),
+  or with return_scales=True a triple (merged, per_scale_list, new_state) —
+  the training losses iterate over every per-scale logit map in addition to
+  the merged one (reference loss.py:124 over scales_to_logits, which holds
+  'logits_%.2f' entries plus MERGED_LOGITS_SCOPE, model.py:585-607).
   """
   image_pyramid = list(image_pyramid or [1.0])
   b, im_h, im_w, _ = images.shape
@@ -213,13 +260,18 @@ def multi_scale_logits(model, variables, images, image_pyramid=None,
     per_scale.append(out)
 
   if len(per_scale) == 1:
+    if return_scales:
+      # Single scale: the reference stores only MERGED_LOGITS_SCOPE
+      # (model.py:597-601) — no extra per-scale loss terms.
+      return per_scale[0], [], new_state
     return per_scale[0], new_state
-  merge = jnp.maximum if merge_method == 'max' else None
   merged = {}
   for k in per_scale[0]:
     stacked = jnp.stack([o[k] for o in per_scale], axis=0)
     merged[k] = (jnp.max(stacked, 0) if merge_method == 'max'
                  else jnp.mean(stacked, 0))
+  if return_scales:
+    return merged, per_scale, new_state
   return merged, new_state
 
 

@@ -72,7 +72,10 @@ def scale_dimension(dim, scale):
 
 
 class ConvBN(nn.Module):
-  """Conv + BatchNorm + optional activation (slim.conv2d equivalent)."""
+  """Conv + BatchNorm + optional activation (slim.conv2d equivalent).
+
+  bounded: relu6 instead of relu (use_bounded_activation,
+  net_xception.py:794 / model.py:200-207)."""
   features: int
   kernel_size: int = 1
   stride: int = 1
@@ -80,6 +83,7 @@ class ConvBN(nn.Module):
   use_explicit_padding: bool = False
   act: bool = True
   use_bn: bool = True
+  bounded: bool = False
   bn_momentum: float = 0.9997
   bn_epsilon: float = 1e-5
   dtype: jnp.dtype = jnp.float32
@@ -101,7 +105,7 @@ class ConvBN(nn.Module):
                        dtype=jnp.float32, name='bn')(x.astype(jnp.float32))
       x = x.astype(self.dtype)
     if self.act:
-      x = nn.relu(x)
+      x = nn.relu6(x) if self.bounded else nn.relu(x)
     return x
 
 
@@ -112,6 +116,7 @@ class DepthwiseConvBN(nn.Module):
   rate: int = 1
   use_explicit_padding: bool = True
   act: bool = False
+  bounded: bool = False
   bn_momentum: float = 0.9997
   bn_epsilon: float = 1e-3
   dtype: jnp.dtype = jnp.float32
@@ -133,7 +138,7 @@ class DepthwiseConvBN(nn.Module):
                      dtype=jnp.float32, name='bn')(x.astype(jnp.float32))
     x = x.astype(self.dtype)
     if self.act:
-      x = nn.relu(x)
+      x = nn.relu6(x) if self.bounded else nn.relu(x)
     return x
 
 
@@ -147,6 +152,7 @@ class SplitSeparableConv(nn.Module):
   features: int
   kernel_size: int = 3
   rate: int = 1
+  bounded: bool = False
   bn_epsilon: float = 1e-5
   dtype: jnp.dtype = jnp.float32
 
@@ -154,10 +160,11 @@ class SplitSeparableConv(nn.Module):
   def __call__(self, x, train=False):
     x = DepthwiseConvBN(kernel_size=self.kernel_size, rate=self.rate,
                         use_explicit_padding=False, act=True,
-                        bn_epsilon=self.bn_epsilon, dtype=self.dtype,
-                        name='depthwise')(x, train)
-    x = ConvBN(self.features, 1, act=True, bn_epsilon=self.bn_epsilon,
-               dtype=self.dtype, name='pointwise')(x, train)
+                        bounded=self.bounded, bn_epsilon=self.bn_epsilon,
+                        dtype=self.dtype, name='depthwise')(x, train)
+    x = ConvBN(self.features, 1, act=True, bounded=self.bounded,
+               bn_epsilon=self.bn_epsilon, dtype=self.dtype,
+               name='pointwise')(x, train)
     return x
 
 

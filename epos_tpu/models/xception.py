@@ -103,30 +103,45 @@ DECODER_ENDPOINT = {
 }
 
 
+_CLIP_CAP = 6  # net_xception.py:58 — bounded-activation clip value.
+
+
 class XceptionModule(nn.Module):
-  """One Xception unit: 3 separable convs + skip (net_xception.py:198-323)."""
+  """One Xception unit: 3 separable convs + skip (net_xception.py:198-323).
+
+  bounded implements use_bounded_activation (net_xception.py:264-319):
+  relu6 pre-activations, clip residual/shortcut to +-_CLIP_CAP before the
+  skip sum, relu6 after conv/sum skips, and native SAME padding instead of
+  explicit padding (xception_arg_scope sets use_explicit_padding =
+  not use_bounded_activation, net_xception.py:790-793)."""
   depths: Tuple[int, int, int]
   skip: str
   stride: int
   rates: Tuple[int, int, int]
   act_in_sep: bool
+  bounded: bool = False
   dtype: jnp.dtype = jnp.float32
 
   @nn.compact
   def __call__(self, x, train=False, capture=None, capture_prefix=''):
     residual = x
+    clip = lambda v: jnp.clip(v, -_CLIP_CAP, _CLIP_CAP)
     for i in range(3):
       if not self.act_in_sep:
-        residual = nn.relu(residual)
+        if self.bounded:
+          # Clip-then-relu6 pre-activation (net_xception.py:268-273).
+          residual = nn.relu6(clip(residual))
+        else:
+          residual = nn.relu(residual)
       stride_i = self.stride if i == 2 else 1
       residual = DepthwiseConvBN(
           kernel_size=3, stride=stride_i, rate=self.rates[i],
-          use_explicit_padding=True, act=self.act_in_sep,
-          bn_epsilon=BN_EPS, dtype=self.dtype,
+          use_explicit_padding=not self.bounded, act=self.act_in_sep,
+          bounded=self.bounded, bn_epsilon=BN_EPS, dtype=self.dtype,
           name=f'separable_conv{i+1}_depthwise')(residual, train)
       residual = ConvBN(
-          self.depths[i], 1, act=self.act_in_sep, bn_epsilon=BN_EPS,
-          dtype=self.dtype,
+          self.depths[i], 1, act=self.act_in_sep, bounded=self.bounded,
+          bn_epsilon=BN_EPS, dtype=self.dtype,
           name=f'separable_conv{i+1}_pointwise')(residual, train)
       if capture is not None and i == 1:
         capture[capture_prefix + f'separable_conv2_pointwise'] = residual
@@ -135,8 +150,12 @@ class XceptionModule(nn.Module):
       shortcut = ConvBN(self.depths[-1], 1, stride=self.stride, act=False,
                         bn_epsilon=BN_EPS, dtype=self.dtype,
                         name='shortcut')(x, train)
+      if self.bounded:
+        return nn.relu6(clip(residual) + clip(shortcut))
       return residual + shortcut
     elif self.skip == 'sum':
+      if self.bounded:
+        return nn.relu6(clip(residual) + clip(x))
       return residual + x
     return residual
 
@@ -146,6 +165,7 @@ class Xception(nn.Module):
   variant: str = 'xception_65'
   output_stride: int = 8
   multi_grid: Optional[Sequence[int]] = None
+  bounded: bool = False
   dtype: jnp.dtype = jnp.float32
 
   @nn.compact
@@ -155,10 +175,11 @@ class Xception(nn.Module):
 
     endpoints = {}
     # Root stem (stride 2): net_xception.py:460-464.
-    x = ConvBN(32, 3, stride=2, use_explicit_padding=True, act=True,
+    x = ConvBN(32, 3, stride=2, use_explicit_padding=not self.bounded,
+               act=True, bounded=self.bounded, bn_epsilon=BN_EPS,
+               dtype=self.dtype, name='entry_flow/conv1_1')(x, train)
+    x = ConvBN(64, 3, stride=1, act=True, bounded=self.bounded,
                bn_epsilon=BN_EPS, dtype=self.dtype,
-               name='entry_flow/conv1_1')(x, train)
-    x = ConvBN(64, 3, stride=1, act=True, bn_epsilon=BN_EPS, dtype=self.dtype,
                name='entry_flow/conv1_2')(x, train)
 
     # Dense block stacking with atrous bookkeeping (net_xception.py:327-393).
@@ -172,7 +193,8 @@ class Xception(nn.Module):
           unit_rates = tuple(r * rate for r in block.unit_rates)
           x = XceptionModule(
               depths=block.depths, skip=block.skip, stride=1,
-              rates=unit_rates, act_in_sep=block.act_in_sep, dtype=self.dtype,
+              rates=unit_rates, act_in_sep=block.act_in_sep,
+              bounded=self.bounded, dtype=self.dtype,
               name=prefix + 'xception_module')(
                   x, train, capture=endpoints, capture_prefix=prefix)
           rate *= block.stride
@@ -180,7 +202,8 @@ class Xception(nn.Module):
           x = XceptionModule(
               depths=block.depths, skip=block.skip, stride=block.stride,
               rates=block.unit_rates, act_in_sep=block.act_in_sep,
-              dtype=self.dtype, name=prefix + 'xception_module')(
+              bounded=self.bounded, dtype=self.dtype,
+              name=prefix + 'xception_module')(
                   x, train, capture=endpoints, capture_prefix=prefix)
           current_stride *= block.stride
       endpoints[block.name] = x

@@ -140,13 +140,31 @@ def train_step(state, batch, dropout_rng, cfg, num_objs):
     variables = {'params': params, 'batch_stats': state.batch_stats}
     train_bn = cfg.fine_tune_batch_norm
     rngs = {'dropout': jax.random.fold_in(dropout_rng, state.step)}
-    logits, new_state = epos_model.multi_scale_logits(
+    merged, per_scale, new_state = epos_model.multi_scale_logits(
         model, variables, batch[common.IMAGE],
         image_pyramid=cfg.image_pyramid, merge_method=cfg.merge_method,
         train=True, rngs=rngs,
-        mutable=['batch_stats'] if train_bn else [])
-    total, parts = losses.total_loss(
-        logits, batch, num_objs, cfg.num_frags, cfg)
+        mutable=['batch_stats'] if train_bn else [], return_scales=True)
+
+    def maybe_upsample(logit_dict):
+      # --upsample_logits: loss at the GT-target resolution with
+      # bilinearly upsampled logits (reference loss.py:129-133,179,259;
+      # the GT maps are generated at stride 1 then, train.py:441-446).
+      if not cfg.upsample_logits:
+        return logit_dict
+      gt_hw = batch[common.GT_OBJ_LABEL].shape[1:3]
+      from epos_tpu.models.layers import resize_bilinear
+      return {k: resize_bilinear(v, gt_hw) for k, v in logit_dict.items()}
+
+    # A loss term per scale plus one for the merged logits (reference
+    # loss.py:124 iterates the full scales_to_logits map).
+    total = 0.0
+    parts = None
+    for logit_dict in per_scale + [merged]:
+      t, p = losses.total_loss(
+          maybe_upsample(logit_dict), batch, num_objs, cfg.num_frags, cfg)
+      total = total + t
+      parts = p if parts is None else {k: parts[k] + p[k] for k in parts}
     new_bs = (new_state['batch_stats'] if train_bn and new_state
               else state.batch_stats)
     return total, (parts, new_bs)

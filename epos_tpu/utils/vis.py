@@ -118,6 +118,105 @@ def visualize_frag_fields(frag_ids, frag_coords, obj_label, frag_centers,
   return label_vis, xyz_vis
 
 
+def visualize_object_poses(im, K, poses, renderer):
+  """Overlays all poses onto the image (vis.py:141-176 surface used at
+  infer.py:214-227). poses: list of {'obj_id', 'R', 't'}."""
+  out = im
+  for p in poses:
+    out = render_pose_overlay(out, renderer, p['obj_id'], K, p['R'], p['t'])
+  return out
+
+
+def visualize_obj_conf_tiles(obj_confs, tile_size=None):
+  """Per-class grayscale confidence tiles with a 'cls: <i>' caption
+  (reference infer.py:253-265)."""
+  import cv2
+  tiles = []
+  for cls in range(obj_confs.shape[-1]):
+    conf = np.clip(obj_confs[:, :, cls] * 255.0, 0, 255).astype(np.uint8)
+    conf = np.dstack([conf, conf, conf])
+    if tile_size is not None:
+      conf = cv2.resize(conf, tile_size, interpolation=cv2.INTER_LINEAR)
+    tiles.append(write_text_on_image(
+        conf, [{'name': 'cls', 'val': cls, 'fmt': ':d'}]))
+  return tiles
+
+
+def _norm01(x):
+  x = x - x.min()
+  m = x.max()
+  return x / m if m > 0 else x
+
+
+def visualize_gt_frag(gt_obj_ids, gt_obj_masks, gt_frag_labels,
+                      gt_frag_weights, gt_frag_coords, frag_centers,
+                      frag_sizes, vis_prefix, vis_dir):
+  """Saves GT fragment-field visualizations: centers / scaled coords /
+  reconstructed XYZ / weights (reference vis.py:179-249).
+
+  gt_obj_ids: [n] object ids; gt_obj_masks: [n, h, w] bool;
+  gt_frag_labels: [h, w, knn]; gt_frag_weights: [h, w, knn];
+  gt_frag_coords: [h, w, knn, 3] normalized offsets.
+  frag_centers/frag_sizes: dicts keyed by obj_id.
+  """
+  frag_ind = 0  # The closest fragment (vis.py:196).
+  h, w = gt_frag_labels.shape[:2]
+  centers_vis = np.zeros((h, w, 3), np.float64)
+  coords_vis = np.zeros((h, w, 3), np.float64)
+  for gt_id, obj_id in enumerate(gt_obj_ids):
+    obj_id = int(obj_id)
+    if obj_id not in frag_centers:
+      continue
+    m = gt_obj_masks[gt_id].astype(bool)
+    labels = gt_frag_labels[m][:, frag_ind]
+    centers_vis[m] = frag_centers[obj_id][labels]
+    scales = frag_sizes[obj_id][labels]
+    coords_vis[m] = gt_frag_coords[m][:, frag_ind, :] * scales[:, None]
+  xyz_vis = centers_vis + coords_vis
+  weights_vis = gt_frag_weights[:, :, frag_ind].astype(np.float64)
+  if weights_vis.max() > 0:
+    weights_vis = weights_vis / weights_vis.max()
+
+  for name, vis in (('gt_frag_labels', _norm01(centers_vis)),
+                    ('gt_frag_coords', _norm01(coords_vis)),
+                    ('gt_frag_reconst', _norm01(xyz_vis)),
+                    ('gt_frag_weights', weights_vis)):
+    save_image(os.path.join(vis_dir, f'{vis_prefix}_{name}.png'),
+               (255.0 * np.atleast_3d(vis)).astype(np.uint8))
+
+
+def visualize_pred_frag(frag_confs, frag_coords, frag_centers, frag_sizes,
+                        vis_prefix, vis_dir, vis_ext='jpg'):
+  """Saves predicted fragment-field grids: per-object top-fragment centers /
+  scaled coords / reconstructed XYZ (reference vis.py:253-319).
+
+  frag_confs: [h, w, num_objs, F] softmax; frag_coords: [h, w, num_objs, F,
+  3] normalized offsets. frag_centers/frag_sizes: dicts keyed by obj_id.
+  """
+  h, w, num_objs, num_frags = frag_confs.shape
+  tiles_centers, tiles_coords, tiles_reconst = [], [], []
+  for obj_id in range(1, num_objs + 1):
+    if obj_id not in frag_centers:
+      continue
+    conf_obj = frag_confs[:, :, obj_id - 1, :]
+    top = np.argmax(conf_obj, axis=2).flatten()
+    top_centers = frag_centers[obj_id][top].reshape(h, w, 3)
+    coords_obj = frag_coords[:, :, obj_id - 1, :, :].reshape(-1, num_frags, 3)
+    top_rel = coords_obj[np.arange(top.size), top]
+    top_coords = (top_rel * frag_sizes[obj_id][top][:, None]).reshape(h, w, 3)
+    top_reconst = top_centers + top_coords
+    txt = [{'name': 'cls', 'val': obj_id, 'fmt': ':d'}]
+    tiles_centers.append(write_text_on_image(colorize_xyz(top_centers), txt))
+    tiles_coords.append(write_text_on_image(colorize_xyz(top_coords), txt))
+    tiles_reconst.append(write_text_on_image(colorize_xyz(top_reconst), txt))
+
+  for name, tiles in (('pred_frag_centers', tiles_centers),
+                      ('pred_frag_coords', tiles_coords),
+                      ('pred_frag_reconst', tiles_reconst)):
+    save_image(os.path.join(vis_dir, f'{vis_prefix}_{name}.{vis_ext}'),
+               build_grid(tiles))
+
+
 def write_text_on_image(im, txt_list, loc=(3, 12), color=(255, 255, 255),
                         size=0.4):
   """Writes lines of text onto an image (bop_toolkit

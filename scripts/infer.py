@@ -59,28 +59,112 @@ def _save_correspondences(cfg, infer_dir, im_ind, sample, corrs):
             c3d[i, 0], c3d[i, 1], c3d[i, 2], conf[i]))
 
 
-def _visualize(cfg, infer_dir, im_ind, sample, poses, preds, dataset):
-  """Pose/label visualizations (reference infer.py:150-291 surface)."""
+def _make_vis_renderer(cfg, dataset, crop):
+  """Full-resolution renderer for pose overlays (reference infer.py:625-640
+  initializes a dedicated renderer at crop size when vis_gt_poses or
+  vis_pred_poses; it loads 'eval' models — here the already-loaded model
+  store is reused)."""
+  if not (cfg.vis and (cfg.vis_gt_poses or cfg.vis_pred_poses)):
+    return None
+  from epos_tpu.data import renderer as renderer_lib
+  store = dataset.model_store
+  if store.models is None:
+    store.load_models()
+  r = renderer_lib.Renderer()
+  r.init(crop[0], crop[1])
+  for obj_id, model in store.models.items():
+    r.add_object(obj_id, model)
+  return r
+
+
+def _visualize(cfg, infer_dir, im_ind, sample, poses, preds, dataset,
+               vis_renderer=None):
+  """Pose/label/confidence/fragment-field visualizations, covering every
+  vis_* flag (reference infer.py:150-291)."""
+  import cv2
+  from epos_tpu.ops import geometry
   from epos_tpu.utils import vis as vis_lib
   vis_dir = os.path.join(infer_dir, 'vis')
+  os.makedirs(vis_dir, exist_ok=True)
+  vis_prefix = f'{im_ind:06d}'
   im = np.asarray(sample[common.IMAGE][0]).astype(np.uint8)
   K = np.asarray(sample[common.K][0])
-  tiles = [im]
-  if cfg.vis_pred_poses and poses:
-    overlay = im
-    for p in poses:
-      overlay = vis_lib.render_pose_overlay(
-          overlay, dataset.renderer, p['obj_id'], K, p['R'], p['t'])
-    tiles.append(overlay)
+  size = (im.shape[1], im.shape[0])
+
+  def caption(tile, text):
+    if tile.shape[:2] != im.shape[:2]:
+      tile = cv2.resize(tile, size, interpolation=cv2.INTER_NEAREST)
+    return vis_lib.write_text_on_image(tile, [text])
+
+  tiles = [caption(im, 'input')]
+
+  # GT poses (infer.py:204-218): quats/trans from the GT annotations.
+  if (cfg.vis_gt_poses and common.GT_NUM in sample
+      and vis_renderer is not None):
+    n = int(np.asarray(sample[common.GT_NUM]).reshape(-1)[0])
+    gt_poses = []
+    for g in range(n):
+      q = np.asarray(sample[common.GT_OBJ_QUATS][0][g], np.float64)
+      gt_poses.append({
+          'obj_id': int(np.asarray(sample[common.GT_OBJ_IDS][0][g])),
+          'R': geometry.quaternion_matrix(q),
+          't': np.asarray(sample[common.GT_OBJ_TRANS][0][g], np.float64),
+      })
+    tiles.append(caption(vis_lib.visualize_object_poses(
+        im, K, gt_poses, vis_renderer), 'gt poses'))
+
+  if cfg.vis_pred_poses and vis_renderer is not None:
+    tiles.append(caption(vis_lib.visualize_object_poses(
+        im, K, poses, vis_renderer), 'pred poses'))
+
+  if cfg.vis_gt_obj_labels and common.GT_OBJ_LABEL in sample:
+    label_vis = vis_lib.colorize_label_map(
+        np.asarray(sample[common.GT_OBJ_LABEL][0]))
+    tiles.append(caption(label_vis, 'gt obj labels'))
+
   if cfg.vis_pred_obj_labels and common.PRED_OBJ_LABEL in preds:
-    label = np.asarray(preds[common.PRED_OBJ_LABEL][0])
-    import cv2
-    label_vis = vis_lib.colorize_label_map(label)
-    tiles.append(cv2.resize(label_vis, (im.shape[1], im.shape[0]),
-                            interpolation=cv2.INTER_NEAREST))
+    label_vis = vis_lib.colorize_label_map(
+        np.asarray(preds[common.PRED_OBJ_LABEL][0]))
+    tiles.append(caption(label_vis, 'pred obj labels'))
+
+  # Per-class confidence tiles (infer.py:253-265).
+  if cfg.vis_pred_obj_confs and common.PRED_OBJ_CONF in preds:
+    tiles.extend(
+        caption(t, '') for t in vis_lib.visualize_obj_conf_tiles(
+            np.asarray(preds[common.PRED_OBJ_CONF][0]), tile_size=size))
+
+  store = dataset.model_store
+  # GT fragment fields (infer.py:267-279; needs GT maps in the samples).
+  if (cfg.vis_gt_frag_fields and common.GT_OBJ_MASKS in sample
+      and common.GT_FRAG_LABEL in sample):
+    n = int(np.asarray(sample[common.GT_NUM]).reshape(-1)[0])
+    vis_lib.visualize_gt_frag(
+        gt_obj_ids=np.asarray(sample[common.GT_OBJ_IDS][0][:n]),
+        gt_obj_masks=np.asarray(sample[common.GT_OBJ_MASKS][0][:n]),
+        gt_frag_labels=np.asarray(sample[common.GT_FRAG_LABEL][0]),
+        gt_frag_weights=np.asarray(sample[common.GT_FRAG_WEIGHT][0]),
+        gt_frag_coords=np.asarray(sample[common.GT_FRAG_LOC][0]),
+        frag_centers=store.frag_centers, frag_sizes=store.frag_sizes,
+        vis_prefix=vis_prefix, vis_dir=vis_dir)
+
+  # Predicted fragment fields (infer.py:281-291; dense preds are available
+  # because cfg.vis forces the unfused prediction path).
+  if (cfg.vis_pred_frag_fields and common.PRED_FRAG_CONF in preds
+      and common.PRED_FRAG_LOC in preds):
+    fc = np.asarray(preds[common.PRED_FRAG_CONF][0])
+    fl = np.asarray(preds[common.PRED_FRAG_LOC][0])
+    num_objs = dataset.num_objs
+    if fc.shape[2] == 1:  # frag_cls_agnostic -> broadcast over objects.
+      fc = np.broadcast_to(fc, fc.shape[:2] + (num_objs, fc.shape[3]))
+    if fl.shape[2] == 1:
+      fl = np.broadcast_to(fl, fl.shape[:2] + (num_objs,) + fl.shape[3:])
+    vis_lib.visualize_pred_frag(
+        fc, fl, frag_centers=store.frag_centers, frag_sizes=store.frag_sizes,
+        vis_prefix=vis_prefix, vis_dir=vis_dir)
+
   grid = vis_lib.build_grid(tiles)
   vis_lib.save_image(
-      os.path.join(vis_dir, f'{im_ind:06d}_vis.jpg'), grid)
+      os.path.join(vis_dir, f'{vis_prefix}_grid.jpg'), grid)
 
 
 def main(args=None, time_stages=False):
@@ -96,8 +180,15 @@ def main(args=None, time_stages=False):
       cfg, cfg.dataset, cfg.infer_tfrecord_names, model_dir,
       batch_size=1, max_height_before_crop=cfg.infer_max_height_before_crop,
       crop_size=crop, is_training=False,
-      return_gt_orig=(cfg.task_type == common.LOCALIZATION),
-      return_gt_maps=False, output_stride=stride)
+      # Reference gating (infer.py:593-602): GT annotations for
+      # LOCALIZATION or GT-pose overlays; GT maps only for the vis flags
+      # that consume them (the reference over-requests them for pred-side
+      # visualizations its tf.data pipeline bundles together).
+      return_gt_orig=(cfg.task_type == common.LOCALIZATION
+                      or (cfg.vis and cfg.vis_gt_poses)),
+      return_gt_maps=(cfg.vis and (cfg.vis_gt_obj_labels
+                                   or cfg.vis_gt_frag_fields)),
+      output_stride=stride)
   num_objs = dataset.num_objs
 
   model = epos_model.build_model(cfg, num_objs)
@@ -127,6 +218,7 @@ def main(args=None, time_stages=False):
 
   loader = DataLoader(dataset, batch_size=1, shuffle=False, repeat=False,
                       num_workers=cfg.num_pipeline_workers)
+  vis_renderer = _make_vis_renderer(cfg, dataset, crop)
 
   all_poses = []
   all_times = []
@@ -144,7 +236,8 @@ def main(args=None, time_stages=False):
     if cfg.save_corresp:
       _save_correspondences(cfg, infer_dir, im_ind, sample, extras[1])
     if cfg.vis:
-      _visualize(cfg, infer_dir, im_ind, sample, poses, extras[0], dataset)
+      _visualize(cfg, infer_dir, im_ind, sample, poses, extras[0], dataset,
+                 vis_renderer=vis_renderer)
 
   # First-image time (jit compile) replaced by the average of the rest
   # (infer.py:741-749).

@@ -40,8 +40,13 @@ def main(args=None):
   os.makedirs(model_dir, exist_ok=True)
 
   crop_w, crop_h = cfg.train_crop_size
-  stride = min(cfg.decoder_output_stride) if cfg.decoder_output_stride else \
-      cfg.encoder_output_stride
+  if cfg.upsample_logits:
+    # GT maps at input resolution; the losses upsample the logits
+    # (reference train.py:441-446).
+    stride = 1
+  else:
+    stride = min(cfg.decoder_output_stride) if cfg.decoder_output_stride \
+        else cfg.encoder_output_stride
 
   dataset = Dataset(
       cfg, cfg.dataset, cfg.train_tfrecord_names, model_dir,

@@ -147,3 +147,57 @@ def test_mobilenet_depth_multiplier():
   model, variables, x = init_and_run(cfg)
   logits = model.apply(variables, x, train=False)
   assert logits[common.PRED_FRAG_LOC].shape[-1] == NUM_OBJS * NUM_FRAGS * 3
+
+
+def test_no_aspp_branch_logits_heads():
+  """aspp_with_batch_norm=False: the ASPP module is skipped and each head
+  grows one conv branch per atrous rate (kernel logits_kernel_size),
+  sum-merged, with scopes 'logits/<out>', 'logits/<out>_1', ...
+  (reference model.py:187-189, 396-458)."""
+  cfg = tiny_cfg(model_variant='xception_micro', aspp_with_batch_norm=False,
+                 logits_kernel_size=3)
+  model, variables, x = init_and_run(cfg)
+  params = variables['params']
+  # No ASPP scopes.
+  for scope in ('aspp0', 'aspp1', 'image_pooling', 'concat_projection'):
+    assert scope not in params, scope
+  # Per-rate head branches with the reference scope suffixes.
+  for suffix in ('', '_1', '_2'):
+    key = f'logits/{common.PRED_OBJ_CONF}{suffix}'
+    assert key in params, sorted(k for k in params if k.startswith('logits'))
+    assert params[key]['kernel'].shape[:2] == (3, 3)
+  out = model.apply(variables, x, train=False)
+  assert out[common.PRED_OBJ_CONF].shape[-1] == NUM_OBJS + 1
+
+
+def test_logits_kernel_size_validated_with_aspp():
+  """Reference model.py:421-424 raises when kernel != 1 with BN-ASPP."""
+  cfg = tiny_cfg(model_variant='xception_micro', logits_kernel_size=3)
+  with pytest.raises(ValueError, match='Kernel size must be 1'):
+    init_and_run(cfg)
+
+
+def test_bounded_activation():
+  """use_bounded_activation: relu6 activations bound every feature map;
+  the forward pass runs and differs from the unbounded model
+  (net_xception.py:264-319, model.py:200-207)."""
+  cfg = tiny_cfg(model_variant='xception_micro')
+  cfg_b = tiny_cfg(model_variant='xception_micro',
+                   use_bounded_activation=True)
+  model, variables, _ = init_and_run(cfg)
+  model_b = epos_model.build_model(cfg_b, NUM_OBJS)
+  r = np.random.default_rng(0)
+  x = jnp.asarray(r.uniform(0, 255, (1, 64, 64, 3)), jnp.float32)
+  # Same params apply to both graphs (bounded changes activations only).
+  out = model.apply(variables, x, train=False)
+  out_b = model_b.apply(variables, x, train=False)
+  a = np.asarray(out[common.PRED_OBJ_CONF])
+  b = np.asarray(out_b[common.PRED_OBJ_CONF])
+  assert np.all(np.isfinite(b))
+  assert not np.allclose(a, b)
+
+
+def test_bounded_activation_rejected_for_resnet():
+  cfg = tiny_cfg(model_variant='resnet_v1_50', use_bounded_activation=True)
+  with pytest.raises(ValueError, match='bounded'):
+    init_and_run(cfg)

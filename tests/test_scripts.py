@@ -170,14 +170,34 @@ def test_09_infer_opencv_ransac(workspace):
 
 
 def test_10_infer_save_corresp_and_vis(workspace):
+  """Every vis_* flag on: the grid carries input/gt-poses/pred-poses/labels/
+  conf tiles, and the GT/pred fragment-field images are written (reference
+  infer.py:150-291)."""
   poses, times = infer_script.main(
       ['--model', workspace['model'], '--save_corresp', 'true',
-       '--vis', 'true', '--infer_name', 'v'])
+       '--vis', 'true', '--vis_gt_poses', 'true', '--vis_pred_poses', 'true',
+       '--vis_gt_obj_labels', 'true', '--vis_pred_obj_labels', 'true',
+       '--vis_pred_obj_confs', 'true', '--vis_gt_frag_fields', 'true',
+       '--vis_pred_frag_fields', 'true', '--infer_name', 'v'])
   base = os.path.join(workspace['model_dir'], 'infer_v')
   corr_files = []
   if os.path.isdir(os.path.join(base, 'corr')):
     corr_files = os.listdir(os.path.join(base, 'corr'))
   # Untrained net may produce zero correspondences for some images, but the
-  # vis grid must exist for every image.
+  # visualizations must exist for every image.
   vis_files = os.listdir(os.path.join(base, 'vis'))
-  assert len(vis_files) == 4
+  for i in range(4):
+    prefix = f'{i:06d}'
+    assert f'{prefix}_grid.jpg' in vis_files
+    for name in ('gt_frag_labels', 'gt_frag_coords', 'gt_frag_reconst',
+                 'gt_frag_weights'):
+      assert f'{prefix}_{name}.png' in vis_files, (name, vis_files)
+    for name in ('pred_frag_centers', 'pred_frag_coords',
+                 'pred_frag_reconst'):
+      assert f'{prefix}_{name}.jpg' in vis_files, (name, vis_files)
+  # The grid has >= 6 tiles (input, gt poses, pred poses, gt labels, pred
+  # labels, conf tiles): it must be strictly larger than a 2x2 grid of
+  # input-sized tiles.
+  import cv2
+  grid = cv2.imread(os.path.join(base, 'vis', '000000_grid.jpg'))
+  assert grid.shape[0] * grid.shape[1] > 4 * 120 * 160

@@ -129,3 +129,41 @@ def test_sharded_matches_single_device_grads():
   l2 = jax.tree_util.tree_leaves(state2.params)
   for a, b in zip(l1, l2):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_train_step_image_pyramid_per_scale_losses():
+  """With an image pyramid the total loss is a SUM over per-scale losses
+  plus the merged logits (reference loss.py:124 iterates scales_to_logits
+  incl. 'logits_%.2f' entries and MERGED_LOGITS_SCOPE)."""
+  rng = jax.random.PRNGKey(0)
+  oh = ow = 8
+  batch = make_batch(1, oh, ow)
+
+  cfg1 = micro_cfg()
+  state1 = trainer.create_train_state(
+      cfg1, NUM_OBJS, rng, jnp.zeros((1, H, W, 3)))
+  _, m1 = trainer.make_jitted_train_step(cfg1, NUM_OBJS)(state1, batch, rng)
+
+  cfg2 = micro_cfg(image_pyramid=[1.0, 0.5])
+  state2 = trainer.create_train_state(
+      cfg2, NUM_OBJS, rng, jnp.zeros((1, H, W, 3)))
+  _, m2 = trainer.make_jitted_train_step(cfg2, NUM_OBJS)(state2, batch, rng)
+
+  # 3 loss terms (scale 1.0, scale 0.5, merged) vs 1: clearly larger, and
+  # finite.
+  assert np.isfinite(float(m2['total_loss']))
+  assert float(m2['total_loss']) > 1.5 * float(m1['total_loss'])
+
+
+def test_train_step_upsample_logits():
+  """--upsample_logits: GT maps at input resolution, logits bilinearly
+  upsampled inside the loss (reference loss.py:129-133, train.py:441-446)."""
+  cfg = micro_cfg(upsample_logits=True)
+  rng = jax.random.PRNGKey(0)
+  state = trainer.create_train_state(
+      cfg, NUM_OBJS, rng, jnp.zeros((1, H, W, 3)))
+  batch = make_batch(1, H, W)  # GT at stride 1 == input resolution.
+  step = trainer.make_jitted_train_step(cfg, NUM_OBJS)
+  state, metrics = step(state, batch, rng)
+  assert np.isfinite(float(metrics['total_loss']))
+  assert int(state.step) == 1
