@@ -17,10 +17,108 @@ All outputs clipped to [0, 1].
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _u(rng, lo, hi):
   return jax.random.uniform(rng, (), minval=lo, maxval=hi)
+
+
+# --- JPEG artifacts via DCT quantization (augment.py:158-173) -----------------
+# The reference encodes/decodes with tf.image.random_jpeg_quality. Here the
+# same artifact distribution (8x8 block DCT, quality-scaled quantization,
+# 4:2:0 chroma subsampling) is reproduced as pure jitted math — 8x8 matmuls
+# map straight onto the MXU, no host round trip.
+
+# Standard JPEG (Annex K) base quantization tables.
+_JPEG_LUMA_Q = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99]], np.float32)
+_JPEG_CHROMA_Q = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99]], np.float32)
+
+
+def _dct8_matrix():
+  k, n = np.arange(8)[:, None], np.arange(8)[None, :]
+  m = np.sqrt(0.25) * np.cos(np.pi * (2 * n + 1) * k / 16.0)
+  m[0] /= np.sqrt(2.0)
+  return m.astype(np.float32)  # X = M @ block @ M.T; block = M.T @ X @ M
+
+
+def _blockwise_quantize(plane, qtable):
+  """plane [h, w] (multiple of 8, centered at 0) -> DCT-quantized plane."""
+  h, w = plane.shape
+  m = jnp.asarray(_dct8_matrix())
+  blocks = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+  dct = jnp.einsum('ij,bcjk,lk->bcil', m, blocks, m)
+  dct = jnp.round(dct / qtable) * qtable
+  out = jnp.einsum('ji,bcjk,kl->bcil', m, dct, m)
+  return out.transpose(0, 2, 1, 3).reshape(h, w)
+
+
+def jpeg_artifacts(rng, image, min_quality=80):
+  """JPEG compression artifacts at quality ~ U[min_quality, 100]
+  (reference augment.py:158-173 / tf.image.random_jpeg_quality).
+
+  image: [h, w, 3] RGB in [0, 1]. Static shapes; pads to 8px blocks.
+  """
+  h, w, _ = image.shape
+  q = jax.random.uniform(rng, (), minval=float(min_quality), maxval=100.0)
+  scale = jnp.where(q < 50.0, 5000.0 / q, 200.0 - 2.0 * q)
+  luma_t = jnp.clip(jnp.floor(
+      (jnp.asarray(_JPEG_LUMA_Q) * scale + 50.0) / 100.0), 1.0, 255.0)
+  chroma_t = jnp.clip(jnp.floor(
+      (jnp.asarray(_JPEG_CHROMA_Q) * scale + 50.0) / 100.0), 1.0, 255.0)
+
+  x = jnp.round(image * 255.0)
+  r, g, b = x[..., 0], x[..., 1], x[..., 2]
+  y = 0.299 * r + 0.587 * g + 0.114 * b
+  cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+  cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+  ph = (-h) % 8
+  pw = (-w) % 8
+  pad = lambda p: jnp.pad(p, ((0, ph), (0, pw)), mode='edge')
+  hp, wp = h + ph, w + pw
+
+  y_q = _blockwise_quantize(pad(y) - 128.0, luma_t) + 128.0
+
+  def chroma(p):
+    # 4:2:0: 2x2 mean subsample, quantize at half resolution, nearest
+    # upsample back.
+    p = pad(p)
+    sub = p.reshape(hp // 2, 2, wp // 2, 2).mean(axis=(1, 3))
+    sh = (-sub.shape[0]) % 8
+    sw = (-sub.shape[1]) % 8
+    subp = jnp.pad(sub, ((0, sh), (0, sw)), mode='edge')
+    qd = _blockwise_quantize(subp - 128.0, chroma_t) + 128.0
+    qd = qd[:sub.shape[0], :sub.shape[1]]
+    return jnp.repeat(jnp.repeat(qd, 2, axis=0), 2, axis=1)
+
+  cb_q = chroma(cb)
+  cr_q = chroma(cr)
+
+  y_q = y_q[:h, :w]
+  cb_q = cb_q[:h, :w] - 128.0
+  cr_q = cr_q[:h, :w] - 128.0
+  r2 = y_q + 1.402 * cr_q
+  g2 = y_q - 0.344136 * cb_q - 0.714136 * cr_q
+  b2 = y_q + 1.772 * cb_q
+  out = jnp.stack([r2, g2, b2], axis=-1)
+  return jnp.clip(jnp.round(out) / 255.0, 0.0, 1.0)
 
 
 def random_adjust_brightness(rng, image, min_delta=-0.15, max_delta=0.15):
@@ -153,13 +251,7 @@ def apply_augmentations(rng, image, data_augmentations):
     elif name == 'random_gaussian_noise':
       image = random_gaussian_noise(key, image, p.get('max_sigma', 0.08))
     elif name == 'jpeg_artifacts':
-      # DCT-quantization on device is not worth the compile cost; the
-      # closest cheap proxy is mild blur + noise (quality q in [min, 100]).
-      q = p.get('min_quality', 80)
-      strength = (100.0 - q) / 100.0
-      k1, k2 = jax.random.split(key)
-      image = random_blur(k1, image, max_sigma=1.0 * strength + 1e-3)
-      image = random_gaussian_noise(k2, image, max_sigma=0.03 * strength)
+      image = jpeg_artifacts(key, image, p.get('min_quality', 80))
     else:
       raise ValueError(f'Unknown augmentation: {name}')
   return image

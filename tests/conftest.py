@@ -16,3 +16,8 @@ if '--xla_force_host_platform_device_count' not in xla_flags:
 # of JAX_PLATFORMS; override it through the config API.
 import jax  # noqa: E402
 jax.config.update('jax_platforms', 'cpu')
+# Persistent compilation cache: re-runs skip the ~16 min of CPU compiles.
+jax.config.update('jax_compilation_cache_dir',
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), '.jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)

@@ -258,16 +258,112 @@ def test_gt_cache_matches_uncached(synth_bop, tmp_path):
                                 s3[common.GT_FRAG_LABEL])
 
 
-def test_gt_cache_speedup(synth_bop, tmp_path):
-  import time
+def test_gt_cache_skips_renders(synth_bop, tmp_path, monkeypatch):
+  """Cache hits must not rasterize: count render_object calls instead of
+  wall time (the old timing assertion was flaky on a loaded 1-core host)."""
+  from epos_tpu.data import renderer as renderer_lib
+  calls = {'n': 0}
+  orig = renderer_lib.Renderer.render_object
+
+  def counting(self, *a, **kw):
+    calls['n'] += 1
+    return orig(self, *a, **kw)
+
+  monkeypatch.setattr(renderer_lib.Renderer, 'render_object', counting)
   cfg, ds = make_dataset(synth_bop, str(tmp_path / 'm'))
   cfg.gt_cache_dir = str(tmp_path / 'cache2')
   rec = next(iter(records.read_records(ds.record_files()[0])))
-  t0 = time.time()
   ds.parse_and_preprocess(rec, np.random.default_rng(0))
-  cold = time.time() - t0
-  t0 = time.time()
-  for _ in range(5):
+  cold_calls = calls['n']
+  assert cold_calls > 0  # The cold parse rendered the GT fields.
+  calls['n'] = 0
+  for _ in range(3):
     ds.parse_and_preprocess(rec, np.random.default_rng(0))
-  warm = (time.time() - t0) / 5
-  assert warm < cold  # Renders skipped on hits.
+  assert calls['n'] == 0, 'cache hits must not call the rasterizer'
+
+
+def test_jpeg_artifacts_real_dct_quantization():
+  """jpeg_artifacts reproduces real JPEG behavior (augment.py:158-173):
+  quality-monotone distortion, 8x8 block structure, and agreement with
+  cv2's actual JPEG codec at matched quality."""
+  import cv2
+  import jax
+  import jax.numpy as jnp
+  r = np.random.default_rng(5)
+  im = (r.uniform(0, 1, (64, 96, 3)).astype(np.float32) * 0.5
+        + np.linspace(0, 0.5, 96)[None, :, None].astype(np.float32))
+  key = jax.random.PRNGKey(0)
+
+  out_hi = np.asarray(augment.jpeg_artifacts(key, jnp.asarray(im), 95))
+  out_lo = np.asarray(augment.jpeg_artifacts(key, jnp.asarray(im), 10))
+  assert out_hi.shape == im.shape
+  assert out_hi.min() >= 0.0 and out_hi.max() <= 1.0
+  err_hi = np.abs(out_hi - im).mean()
+  err_lo = np.abs(out_lo - im).mean()
+  assert 0 < err_hi < err_lo, (err_hi, err_lo)
+
+  # Agreement with the real codec: our q~U[10,100] draw is deterministic
+  # given the key; recover it and encode with cv2 at the same quality.
+  q = float(jax.random.uniform(key, (), minval=10.0, maxval=100.0))
+  enc = cv2.imencode('.jpg', (im * 255).astype(np.uint8)[..., ::-1],
+                     [cv2.IMWRITE_JPEG_QUALITY, int(round(q))])[1]
+  ref = cv2.imdecode(enc, cv2.IMREAD_COLOR)[..., ::-1].astype(np.float32)
+  ref /= 255.0
+  # Our simulation must be much closer to the real JPEG output than the
+  # worst-case distortion budget (it shares the quant tables + subsampling).
+  sim_err = np.abs(out_lo - ref).mean()
+  assert sim_err < 2.0 * np.abs(ref - im).mean() + 0.01, (
+      sim_err, np.abs(ref - im).mean())
+
+  # Blockiness signature: discontinuities concentrate at 8px boundaries.
+  dcol = np.abs(np.diff(out_lo, axis=1)).mean(axis=(0, 2))
+  at_edges = dcol[7::8].mean()
+  elsewhere = np.delete(dcol, np.s_[7::8]).mean()
+  assert at_edges > elsewhere, (at_edges, elsewhere)
+
+
+def test_crc32c_known_vectors():
+  """CRC-32C (Castagnoli) test vectors (RFC 3720 appendix B.4)."""
+  assert records.crc32c(b'') == 0x00000000
+  assert records.crc32c(b'123456789') == 0xE3069283
+  assert records.crc32c(bytes(32)) == 0x8A9136AA
+  # Fallback path agrees with the C extension on random data.
+  import epos_tpu.data.records as rec_mod
+  if rec_mod._gcrc is not None:
+    r = np.random.default_rng(0)
+    data = r.integers(0, 256, 1000, dtype=np.uint8).tobytes()
+    fast = rec_mod.crc32c(data)
+    saved = rec_mod._gcrc
+    try:
+      rec_mod._gcrc = None
+      slow = rec_mod.crc32c(data)
+    finally:
+      rec_mod._gcrc = saved
+    assert fast == slow
+
+
+def test_index_based_global_shuffle(tmp_path):
+  """The loader's record iterator is a full per-epoch permutation (not a
+  small shuffle buffer): every record appears exactly once per epoch and
+  epoch orders differ."""
+  from epos_tpu.data.pipeline import DataLoader
+  path = str(tmp_path / 'r.tfrecord')
+  with records.RecordWriter(path) as w:
+    for i in range(50):
+      w.write(f'rec{i:03d}'.encode())
+  offs = records.read_record_index(path)
+  assert len(offs) == 50
+  with open(path, 'rb') as f:
+    assert records.read_record_at(f, offs[7]) == b'rec007'
+
+  loader = DataLoader.__new__(DataLoader)
+  loader.files = [path]
+  loader.shuffle = True
+  loader.repeat = True
+  loader.seed = 3
+  it = loader._record_iter()
+  ep1 = [next(it) for _ in range(50)]
+  ep2 = [next(it) for _ in range(50)]
+  assert sorted(ep1) == sorted(set(ep1)) and len(set(ep1)) == 50
+  assert sorted(ep2) == sorted(ep1)
+  assert ep1 != ep2
