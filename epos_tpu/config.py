@@ -71,6 +71,17 @@ class Config:
   upsample_logits: bool = False
 
   # --- Training flags (reference: scripts/train.py:29-159) ---
+  # Multi-process (multi-host) training — reference flag names
+  # (train.py:35-50); see epos_tpu/parallel/distributed.py.
+  master: Optional[str] = None      # coordinator host:port (TF1 'master')
+  num_replicas: int = 1             # number of processes
+  task: int = 0                     # this process's index
+  # [compat] TF1 PS/clone scheme knobs with no JAX equivalent: clones are
+  # mesh devices, parameter servers don't exist (train.py:29-50).
+  num_clones: int = 1
+  clone_on_cpu: bool = False
+  num_ps_tasks: int = 0
+  startup_delay_steps: int = 15
   obj_cls_loss_weight: float = 1.0
   frag_cls_loss_weight: float = 1.0
   frag_loc_loss_weight: float = 100.0

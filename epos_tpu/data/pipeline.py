@@ -20,7 +20,11 @@ class DataLoader:
   """Iterates batches from a Dataset (epos_tpu.data.dataset.Dataset)."""
 
   def __init__(self, dataset, batch_size, shuffle=False, repeat=False,
-               num_workers=1, seed=0, prefetch=4, files=None):
+               num_workers=1, seed=0, prefetch=4, files=None,
+               shard_index=0, num_shards=1):
+    """shard_index/num_shards: multi-process input sharding — each process
+    reads a disjoint 1/num_shards slice of every epoch's (shared-seed)
+    permutation, so hosts never feed duplicate examples."""
     self.dataset = dataset
     self.batch_size = batch_size
     self.shuffle = shuffle
@@ -29,6 +33,8 @@ class DataLoader:
     self.seed = seed
     self.prefetch = prefetch
     self.files = files if files is not None else dataset.record_files()
+    self.shard_index = shard_index
+    self.num_shards = max(1, num_shards)
 
   def _record_iter(self):
     """Yields raw example bytes; index-based GLOBAL shuffle per epoch.
@@ -49,12 +55,15 @@ class DataLoader:
     try:
       index = None
       while True:
-        if self.shuffle:
+        if self.shuffle or self.num_shards > 1:
           if index is None:
             index = [(path, off) for path in self.files
                      for off in records.read_record_index(path)]
-          order = rng.permutation(len(index))
-          for i in order:
+          if self.shuffle:
+            order = rng.permutation(len(index))
+          else:
+            order = range(len(index))
+          for i in list(order)[self.shard_index::self.num_shards]:
             path, off = index[i]
             yield records.read_record_at(handle(path), off)
         else:

@@ -20,6 +20,10 @@ MODEL_AXIS = 'model'
 def create_mesh(mesh_shape=None, devices=None):
   """Creates a Mesh over the available devices.
 
+  In multi-process runs jax.devices() is the GLOBAL device list (all
+  hosts), so the mesh spans every chip and XLA routes the data-axis
+  all-reduce over ICI within a host and DCN across hosts.
+
   Args:
     mesh_shape: [data, model] sizes; None -> all devices on the data axis.
     devices: Optional explicit device list (default jax.devices()).
@@ -45,6 +49,16 @@ def replicated(mesh):
 
 
 def shard_batch(batch, mesh):
-  """Places a host batch dict on the mesh, sharded on the leading dim."""
+  """Places a host batch dict on the mesh, sharded on the leading dim.
+
+  Single-process: a plain device_put with the sharding. Multi-process:
+  each process passes its LOCAL slice of the global batch (leading dim =
+  global_batch / process_count) and the pieces are assembled into one
+  global array (jax.make_array_from_process_local_data)."""
   sh = batch_sharding(mesh)
-  return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+  if jax.process_count() == 1:
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+  import numpy as np_
+  return jax.tree_util.tree_map(
+      lambda x: jax.make_array_from_process_local_data(sh, np_.asarray(x)),
+      batch)

@@ -39,6 +39,16 @@ def main(args=None):
     raise ValueError('--model is required')
   os.makedirs(model_dir, exist_ok=True)
 
+  # Multi-host: initialize the distributed runtime BEFORE any backend use
+  # (reference PS scheme train.py:35-50 -> jax.distributed; see
+  # epos_tpu/parallel/distributed.py).
+  from epos_tpu.parallel import distributed as dist
+  dist.initialize_from_config(cfg)
+  chief = dist.is_chief()
+  if dist.process_count() > 1:
+    log.info('Multi-host: process %d/%d, chief=%s',
+             dist.process_index(), dist.process_count(), chief)
+
   crop_w, crop_h = cfg.train_crop_size
   if cfg.upsample_logits:
     # GT maps at input resolution; the losses upsample the logits
@@ -67,8 +77,16 @@ def main(args=None):
     global_batch = max(global_batch, n_dev)
     log.info('Scaling global batch to %d for %d devices', global_batch, n_dev)
 
-  loader = DataLoader(dataset, batch_size=global_batch, shuffle=True,
-                      repeat=True, num_workers=cfg.num_pipeline_workers)
+  # Each process feeds its local slice of the global batch from a disjoint
+  # shard of the (shared-seed) epoch permutation.
+  n_proc = dist.process_count()
+  if global_batch % n_proc != 0:
+    raise ValueError(f'global batch {global_batch} not divisible by '
+                     f'{n_proc} processes')
+  local_batch = global_batch // n_proc
+  loader = DataLoader(dataset, batch_size=local_batch, shuffle=True,
+                      repeat=True, num_workers=cfg.num_pipeline_workers,
+                      shard_index=dist.process_index(), num_shards=n_proc)
 
   rng = jax.random.PRNGKey(0)
   state = trainer.create_train_state(
@@ -95,8 +113,11 @@ def main(args=None):
   aug_fn = jax.jit(lambda r, im: augment.augment_batch(
       r, im, cfg.data_augmentations))
 
-  from epos_tpu.utils.summary import SummaryWriter
-  writer = SummaryWriter(os.path.join(model_dir, 'tb'))
+  # Chief-only summary/checkpoint IO (reference is_chief, train.py:544).
+  writer = None
+  if chief:
+    from epos_tpu.utils.summary import SummaryWriter
+    writer = SummaryWriter(os.path.join(model_dir, 'tb'))
 
   log.info('Training for %d steps (batch %d over %d devices)',
            cfg.train_steps, global_batch, n_dev)
@@ -145,17 +166,29 @@ def main(args=None):
       if not np.isfinite(m['total_loss']):
         raise FloatingPointError(  # tf.check_numerics parity (train.py:281)
             f'Non-finite loss at step {steps_done}: {m}')
-    if steps_done % cfg.save_summaries_steps == 0:
+    if steps_done % cfg.save_summaries_steps == 0 and writer is not None:
       names = sorted(metrics)
       vals = np.asarray(jnp.stack([metrics[k] for k in names]))
       writer.scalars(steps_done, dict(zip(names, vals.tolist())))
     if steps_done % cfg.save_interval_steps == 0 or \
           steps_done >= cfg.train_steps:
+      # Orbax checkpointing is COLLECTIVE under jax.distributed: every
+      # process must call save (it synchronizes internally and writes the
+      # replicated arrays from the primary host only) — a chief-only call
+      # deadlocks on Orbax's barrier. This is the JAX-native form of the
+      # reference's is_chief checkpoint gating (train.py:544).
       checkpoints.save_checkpoint(ckpt_dir, state,
                                   cfg.max_checkpoints_to_keep)
-      log.info('Saved checkpoint at step %d', steps_done)
+      if chief:
+        log.info('Saved checkpoint at step %d', steps_done)
 
-  writer.close()
+  if writer is not None:
+    writer.close()
+  if dist.process_count() > 1:
+    # Exit together: a fast process leaving early trips the distributed
+    # runtime's shutdown barrier while slower ones still run.
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices('epos_tpu_train_end')
   log.info('Training complete at step %d.', steps_done)
 
 
