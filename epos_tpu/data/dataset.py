@@ -361,11 +361,21 @@ class Dataset:
     cache_path = None
     if self.cfg.gt_cache_dir:
       os.makedirs(self.cfg.gt_cache_dir, exist_ok=True)
+      # The key carries a hash of the GT annotations: (scene_id, im_id)
+      # alone collide across splits reusing ids (e.g. a train and a test
+      # example both named scene 1 / im 0 — BOP pbr vs test layouts do
+      # this), which would silently serve one split's GT to the other.
+      import hashlib
+      gt_sig = hashlib.md5(
+          np.ascontiguousarray(np.asarray(ex['gt_quats'])).tobytes() +
+          np.ascontiguousarray(np.asarray(ex['gt_trans'])).tobytes() +
+          np.ascontiguousarray(np.asarray(ex['gt_obj_ids'])).tobytes()
+      ).hexdigest()[:12]
       cache_path = os.path.join(
           self.cfg.gt_cache_dir,
           f'{self.dataset_name}_{ex["scene_id"]:06d}_{ex["im_id"]:06d}_'
           f'h{im_h_new}_s{stride}_f{self.cfg.num_frags}_'
-          f'k{self.cfg.gt_knn_frags}.npz')
+          f'k{self.cfg.gt_knn_frags}_{gt_sig}.npz')
       if os.path.exists(cache_path):
         with np.load(cache_path) as z:
           return {k: z[k] for k in z.files}

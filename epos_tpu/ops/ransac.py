@@ -15,16 +15,20 @@ SURVEY.md §2.3). Redesigned for XLA:
   instance capacity and an early exit once a round fails) — replacing
   PEARL's alternating optimization with greedy sequential coverage.
 - Acceptance (tau_q = min_hypothesis_quality, infer.py:84-86) is
-  *instance-relative*: a pose is kept if its inlier pixel coverage reaches
-  tau_q x the largest accepted instance's coverage (the first instance
-  trivially passes) and it has >= min_corrs inliers. An absolute
-  denominator (all of the object's correspondences) would cap the i-th
-  instance of one object near 1/N and make crowded scenes unfittable at the
-  default tau_q=0.5; the relative rule keeps every same-scale instance and
-  rejects small spurious clusters, matching Progressive-X's behavior of
-  returning all well-supported models (infer.py:459-466: num_instances=-1
-  returns "all found poses"). Inliers of REJECTED hypotheses are never
-  consumed, so one bad round cannot starve later instances.
+  *instance-relative*: a pose is kept, given >= min_corrs inliers, if its
+  inlier pixel coverage reaches tau_q x the largest accepted instance's
+  coverage (the first instance trivially passes) OR tau_q x the coverage
+  of the correspondences still available this round (an occluded or
+  distant instance is small next to the best one, but once earlier
+  instances consumed their pixels it explains most of what remains). An
+  absolute denominator (all of the object's correspondences) would cap
+  the i-th instance of one object near 1/N and make crowded scenes
+  unfittable at the default tau_q=0.5; the disjunction keeps same-scale
+  crowds AND unequal occluded instances while rejecting small spurious
+  clusters, matching Progressive-X's behavior of returning all
+  well-supported models (infer.py:459-466: num_instances=-1 returns "all
+  found poses"). Inliers of REJECTED hypotheses are never consumed, so
+  one bad round cannot starve later instances.
 - Everything is fixed-shape: consumed-correspondence masks instead of
   shrinking arrays. Accepted instances have disjoint inlier sets by
   construction (consumed correspondences leave the pool), which subsumes
@@ -53,10 +57,29 @@ class FitResult(NamedTuple):
 
 
 def _sample_minimal(rng, avail_logits, num_hyps, sample_size):
-  """[num_hyps, sample_size] distinct indices via Gumbel top-k."""
+  """[num_hyps, sample_size] distinct indices via Gumbel top-k (PROSAC
+  path: confidence-weighted sampling, infer.py:98-100)."""
   g = jax.random.gumbel(rng, (num_hyps,) + avail_logits.shape)
   _, idx = jax.lax.top_k(avail_logits[None, :] + g, sample_size)
   return idx
+
+
+def _sample_minimal_uniform(rng, avail_f, num_hyps, sample_size):
+  """[num_hyps, sample_size] uniform draws over available entries via
+  inverse-CDF (cumsum + searchsorted).
+
+  Orders of magnitude cheaper than Gumbel top-k, which generates
+  num_hyps * C randoms and sorts each row (~17M randoms per object at
+  the 400x2048 flagship settings). Duplicates within a sample are
+  possible but rare and harmless: a duplicated point reduces the
+  effective minimal sample by one, and weighted EPnP (num_basis=4)
+  remains well-posed at 5 points — the hypothesis simply scores low,
+  as in any RANSAC with an occasional degenerate draw."""
+  cdf = jnp.cumsum(avail_f)
+  total = jnp.maximum(cdf[-1], 1e-9)
+  u = jax.random.uniform(rng, (num_hyps, sample_size)) * total
+  idx = jnp.searchsorted(cdf, u, side='left')
+  return jnp.clip(idx, 0, avail_f.shape[0] - 1).astype(jnp.int32)
 
 
 def _coverage(px_id, flags, npx):
@@ -88,9 +111,11 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
   def fit_one(avail, key):
     """One RANSAC round on the available correspondences."""
     avail_f = avail.astype(jnp.float32)
-    logits = jnp.where(avail, jnp.log(conf + 1e-9) if use_prosac else 0.0,
-                       -1e9)
-    idx = _sample_minimal(key, logits, num_hypotheses, min_corrs)
+    if use_prosac:
+      logits = jnp.where(avail, jnp.log(conf + 1e-9), -1e9)
+      idx = _sample_minimal(key, logits, num_hypotheses, min_corrs)
+    else:
+      idx = _sample_minimal_uniform(key, avail_f, num_hypotheses, min_corrs)
 
     pts_h = coord_3d[idx]            # [H, 6, 3]
     uv_h = coord_2d[idx]             # [H, 6, 2]
@@ -156,9 +181,14 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
     R, t, inliers, score, cov_in = fit_one(avail, key)
     n_in = jnp.sum(inliers)
     # Instance-relative quality: coverage vs the best accepted instance so
-    # far (first instance compares against itself, i.e. passes tau_q).
+    # far (first instance compares against itself, i.e. passes tau_q), or
+    # vs the correspondences still available this round (small-but-real
+    # occluded instances).
     best_cov = jnp.max(out.quality * out.valid, initial=0.0)
-    quality = cov_in / jnp.maximum(jnp.maximum(best_cov, cov_in), 1.0)
+    cov_avail = _coverage(px_id, avail, npx)
+    q_best = cov_in / jnp.maximum(jnp.maximum(best_cov, cov_in), 1.0)
+    q_avail = cov_in / jnp.maximum(cov_avail, 1.0)
+    quality = jnp.maximum(q_best, q_avail)
     accept = enough & want & (quality >= min_quality) & (n_in >= min_corrs)
     # Only accepted poses consume their inliers; a rejected round cannot
     # starve later instances of this object.

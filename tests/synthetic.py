@@ -48,6 +48,48 @@ def dense_box_mesh(n=6, **kw):
           'verts_corner': base['pts']}
 
 
+def box_mesh_subdivided(sx=60.0, sy=40.0, sz=30.0, n=6):
+  """Box with each face triangulated into an (n-1)^2 grid and per-vertex
+  POSITION-CODED colors (RGB = normalized xyz).
+
+  The flat-shading rasterizer colors each triangle by its vertex average,
+  so the subdivision turns the position code into a coarse texture
+  gradient across every face — giving dense-prediction training a real
+  visual signal (plain boxes with one constant color are nearly
+  textureless and unlearnable beyond the silhouette)."""
+  hx, hy, hz = sx / 2, sy / 2, sz / 2
+  pts, faces = [], []
+  u = np.linspace(-1, 1, n)
+
+  def add_face(origin, du, dv):
+    base = len(pts)
+    for a in u:
+      for b in u:
+        pts.append(origin + a * du + b * dv)
+    for i in range(n - 1):
+      for j in range(n - 1):
+        p0 = base + i * n + j
+        p1 = base + i * n + j + 1
+        p2 = base + (i + 1) * n + j
+        p3 = base + (i + 1) * n + j + 1
+        faces.append([p0, p1, p3])
+        faces.append([p0, p3, p2])
+
+  ex, ey, ez = (np.array([hx, 0, 0]), np.array([0, hy, 0]),
+                np.array([0, 0, hz]))
+  add_face(ex, ey, ez)
+  add_face(-ex, ey, ez)
+  add_face(ey, ex, ez)
+  add_face(-ey, ex, ez)
+  add_face(ez, ex, ey)
+  add_face(-ez, ex, ey)
+  pts = np.asarray(pts, np.float64)
+  half = np.array([hx, hy, hz])
+  colors = np.clip((pts / half + 1.0) * 127.5, 0, 255).astype(np.uint8)
+  return {'pts': pts, 'faces': np.asarray(faces, np.int32),
+          'colors': colors}
+
+
 DEFAULT_K = np.array([[300.0, 0, 80.0], [0, 300.0, 60.0], [0, 0, 1.0]])
 
 
@@ -78,14 +120,62 @@ def fragmented_store(mesh, num_frags=8, obj_id=1):
   return {obj_id: centers}, {obj_id: sizes}
 
 
+def _zrot(angle):
+  c, s = np.cos(angle), np.sin(angle)
+  return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+
+
+def synthbox_meshes(num_objs=2, symmetric_first=False):
+  """The dataset's box meshes (subdivided, position-color-coded). With
+  symmetric_first, object 1 is a square cuboid (sx == sy) — a 4-fold
+  rotational symmetry about z plus the 180-degree flips (D4). Note the
+  position-coded colors are symmetric too only up to the color code; the
+  GEOMETRY is what the BOP symmetry annotations describe."""
+  meshes, denses, infos = {}, {}, {}
+  for obj_id in range(1, num_objs + 1):
+    if symmetric_first and obj_id == 1:
+      sx = sy = 55.0
+      sz = 25.0
+    else:
+      sx, sy, sz = 50.0 + 10 * obj_id, 35.0 + 5 * obj_id, 25.0
+    mesh = box_mesh_subdivided(sx, sy, sz, n=6)
+    dense = dense_box_mesh(n=8, sx=sx, sy=sy, sz=sz)
+    meshes[obj_id] = mesh
+    denses[obj_id] = dense
+    diameter = float(np.sqrt(sx ** 2 + sy ** 2 + sz ** 2))
+    info = {'diameter': diameter, 'size_x': sx, 'size_y': sy, 'size_z': sz}
+    if symmetric_first and obj_id == 1:
+      syms = []
+      for k in range(1, 4):                      # 90/180/270 about z
+        T = np.eye(4)
+        T[:3, :3] = _zrot(np.pi / 2 * k)
+        syms.append(T.flatten().tolist())
+      T = np.eye(4)                              # 180 about x (top-bottom)
+      T[:3, :3] = np.diag([1.0, -1.0, -1.0])
+      syms.append(T.flatten().tolist())
+      info['symmetries_discrete'] = syms
+    infos[obj_id] = info
+  return meshes, denses, infos
+
+
 def make_bop_dataset(root, dataset_name='synthbox', num_scenes=1,
-                     ims_per_scene=3, im_size=(160, 120), num_objs=2):
+                     ims_per_scene=3, im_size=(160, 120), num_objs=2,
+                     split='test', instances_per_obj=1,
+                     symmetric_first=False, crowded=False, seed_base=100,
+                     z_range=None):
   """Creates a miniature BOP-layout dataset on disk with analytic GT.
 
   Returns (dataset_root, split_name). Objects are boxes of different sizes;
   images are flat-shaded renders; masks/scene_gt/scene_camera are written in
   the BOP format so the full create-records -> Dataset -> DataLoader path
   can run against it.
+
+  Options for accuracy-evidence scenes (VERDICT r1 #10):
+    instances_per_obj > 1: multiple instances of each object per image.
+    crowded: instances placed close together -> real occlusion.
+    symmetric_first: object 1 is a D4-symmetric square cuboid; its
+      symmetries land in models_info.json for symmetry-aware evaluation.
+    split: 'test' or 'train' (distinct seeds per split).
   """
   import os
   import json
@@ -100,50 +190,69 @@ def make_bop_dataset(root, dataset_name='synthbox', num_scenes=1,
   os.makedirs(models_dir, exist_ok=True)
   os.makedirs(models_eval_dir, exist_ok=True)
 
-  meshes = {}
-  rng = np.random.default_rng(7)
-  for obj_id in range(1, num_objs + 1):
-    mesh = box_mesh(50.0 + 10 * obj_id, 35.0 + 5 * obj_id, 25.0)
-    # Denser vertex sampling so FPS fragmentation has enough points.
-    dense = dense_box_mesh(n=8, sx=50.0 + 10 * obj_id,
-                           sy=35.0 + 5 * obj_id, sz=25.0)
-    meshes[obj_id] = mesh
+  meshes, denses, model_infos = synthbox_meshes(num_objs, symmetric_first)
+  for obj_id, mesh in meshes.items():
     for d in (models_dir, models_eval_dir):
       bop_lib.save_ply(
           os.path.join(d, f'obj_{obj_id:06d}.ply'),
-          np.concatenate([mesh['pts'], dense['pts']]),
+          np.concatenate([mesh['pts'], denses[obj_id]['pts']]),
+          colors=np.concatenate([
+              mesh['colors'],
+              np.full((len(denses[obj_id]['pts']), 3), 180, np.uint8)]),
           faces=mesh['faces'])
+  for d in (models_dir, models_eval_dir):
+    with open(os.path.join(d, 'models_info.json'), 'w') as f:
+      json.dump({str(k): v for k, v in model_infos.items()}, f)
 
   renderer = Renderer()
   renderer.init(w, h)
   for obj_id, mesh in meshes.items():
     renderer.add_object(obj_id, mesh)
 
-  split_dir = os.path.join(ds_dir, 'test')
+  split_seed = {'test': 0, 'train': 77000}.get(split, 154000)
+  split_dir = os.path.join(ds_dir, split)
   for scene_id in range(1, num_scenes + 1):
     sdir = os.path.join(split_dir, f'{scene_id:06d}')
     os.makedirs(os.path.join(sdir, 'rgb'), exist_ok=True)
     os.makedirs(os.path.join(sdir, 'mask_visib'), exist_ok=True)
     scene_gt, scene_camera, scene_gt_info = {}, {}, {}
     for im_id in range(ims_per_scene):
-      img = np.zeros((h, w, 3), np.uint8)
-      gts, infos = [], []
-      depth_full = np.full((h, w), np.inf)
-      rnd = np.random.default_rng(100 * scene_id + im_id)
-      for gt_id, obj_id in enumerate(range(1, num_objs + 1)):
-        q = rnd.normal(size=4)
-        q /= np.linalg.norm(q)
-        R = geometry.quaternion_matrix(q)
-        t = np.array([rnd.uniform(-40, 40), rnd.uniform(-30, 30),
-                      rnd.uniform(500, 700)])
+      rnd = np.random.default_rng(
+          split_seed + seed_base * scene_id + im_id)
+      # Draw all poses first so every full mask is available for the
+      # z-buffered visibility resolution.
+      draws = []
+      for obj_id in range(1, num_objs + 1):
+        for inst in range(instances_per_obj):
+          q = rnd.normal(size=4)
+          q /= np.linalg.norm(q)
+          R = geometry.quaternion_matrix(q)
+          if crowded:
+            # Cluster placements -> overlapping silhouettes (occlusion).
+            z_lo, z_hi = z_range or (480, 620)
+            t = np.array([rnd.uniform(-25, 25), rnd.uniform(-18, 18),
+                          rnd.uniform(z_lo, z_hi)])
+          else:
+            z_lo, z_hi = z_range or (500, 700)
+            t = np.array([rnd.uniform(-40, 40), rnd.uniform(-30, 30),
+                          rnd.uniform(z_lo, z_hi)])
+          draws.append((obj_id, q, R, t))
+      depths, colors = [], []
+      for obj_id, q, R, t in draws:
         renderer.render_object(obj_id, R.flatten(), t,
                                K[0, 0], K[1, 1], K[0, 2], K[1, 2])
-        depth = renderer.get_depth_image(obj_id)
-        color = renderer.get_color_image(obj_id)
-        m_full = depth > 0
-        vis = m_full & ((depth < depth_full) | ~np.isfinite(depth_full))
-        depth_full = np.where(vis, depth, depth_full)
-        img[vis] = color[vis]
+        depths.append(renderer.get_depth_image(obj_id).copy())
+        colors.append(renderer.get_color_image(obj_id).copy())
+      depth_stack = np.stack([np.where(d > 0, d, np.inf) for d in depths])
+      winner = np.argmin(depth_stack, axis=0)
+      any_hit = np.isfinite(depth_stack.min(axis=0))
+
+      img = np.zeros((h, w, 3), np.uint8)
+      gts, infos = [], []
+      for gt_id, (obj_id, q, R, t) in enumerate(draws):
+        m_full = depths[gt_id] > 0
+        vis = m_full & any_hit & (winner == gt_id)
+        img[vis] = colors[gt_id][vis]
         cv2.imwrite(os.path.join(
             sdir, 'mask_visib', f'{im_id:06d}_{gt_id:06d}.png'),
             vis.astype(np.uint8) * 255)
@@ -164,4 +273,4 @@ def make_bop_dataset(root, dataset_name='synthbox', num_scenes=1,
       json.dump(scene_camera, f)
     with open(os.path.join(sdir, 'scene_gt_info.json'), 'w') as f:
       json.dump(scene_gt_info, f)
-  return root, 'test'
+  return root, split

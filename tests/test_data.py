@@ -361,9 +361,40 @@ def test_index_based_global_shuffle(tmp_path):
   loader.shuffle = True
   loader.repeat = True
   loader.seed = 3
+  loader.shard_index = 0
+  loader.num_shards = 1
   it = loader._record_iter()
   ep1 = [next(it) for _ in range(50)]
   ep2 = [next(it) for _ in range(50)]
   assert sorted(ep1) == sorted(set(ep1)) and len(set(ep1)) == 50
   assert sorted(ep2) == sorted(ep1)
   assert ep1 != ep2
+
+
+def test_gt_cache_distinguishes_same_ids_different_gt(synth_bop, tmp_path):
+  """Regression: two records with identical (scene_id, im_id) but different
+  GT (e.g. train vs test splits reusing ids) must not collide in the GT
+  cache."""
+  cfg, ds = make_dataset(synth_bop, str(tmp_path / 'm'))
+  cfg.gt_cache_dir = str(tmp_path / 'cache3')
+  rec = next(iter(records.read_records(ds.record_files()[0])))
+  ex = schema.parse_example(rec)
+  s1 = ds.parse_and_preprocess(rec, np.random.default_rng(0))
+
+  # Same ids, GT translations shifted -> a different scene.
+  gt2 = []
+  for i in range(len(ex['gt_obj_ids'])):
+    gt2.append({'obj_id': int(ex['gt_obj_ids'][i]),
+                'visib_fract': float(ex['gt_visib'][i]),
+                'q': ex['gt_quats'][i],
+                't': ex['gt_trans'][i] + np.array([25.0, 0.0, 0.0]),
+                'mask_png': ex['gt_mask_pngs'][i]})
+  rec2 = schema.make_example(
+      ex['scene_id'], ex['im_id'], ex['path'], ex['encoded'],
+      ex['height'], ex['width'], ex['K'], gt2)
+  s2 = ds.parse_and_preprocess(rec2, np.random.default_rng(0))
+  t1 = s1[common.GT_OBJ_TRANS][:int(s1[common.GT_NUM])]
+  t2 = s2[common.GT_OBJ_TRANS][:int(s2[common.GT_NUM])]
+  assert not np.allclose(t1, t2), 'cache served stale GT for shifted scene'
+  np.testing.assert_allclose(t2 - t1, np.broadcast_to([25.0, 0, 0], t1.shape),
+                             atol=1e-4)
