@@ -46,6 +46,59 @@ def mat_small_apply(A, x):
   return sum(A[..., :, i] * x[..., i][..., None] for i in range(k))
 
 
+def sym_eigh3(A):
+  """Analytic eigendecomposition of a symmetric 3x3 (Smith's trigonometric
+  method + row-cross eigenvectors). Pure arithmetic — vmapping
+  lax.linalg.eigh over RANSAC hypothesis batches is the single most
+  expensive op of the minimal solves on TPU (hazard: batched tiny
+  eigh/svd serialize).
+
+  Returns (eigvals [3] ascending, eigvecs [3,3] columns).
+  """
+  a00, a01, a02 = A[0, 0], A[0, 1], A[0, 2]
+  a11, a12, a22 = A[1, 1], A[1, 2], A[2, 2]
+  p1 = a01 * a01 + a02 * a02 + a12 * a12
+  q = (a00 + a11 + a22) / 3.0
+  p2 = ((a00 - q) ** 2 + (a11 - q) ** 2 + (a22 - q) ** 2 + 2.0 * p1)
+  p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
+  b00, b11, b22 = (a00 - q) / p, (a11 - q) / p, (a22 - q) / p
+  b01, b02, b12 = a01 / p, a02 / p, a12 / p
+  detB = (b00 * (b11 * b22 - b12 * b12)
+          - b01 * (b01 * b22 - b12 * b02)
+          + b02 * (b01 * b12 - b11 * b02))
+  r = jnp.clip(detB / 2.0, -1.0, 1.0)
+  phi = jnp.arccos(r) / 3.0
+  e_hi = q + 2.0 * p * jnp.cos(phi)
+  e_lo = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+  e_mid = 3.0 * q - e_hi - e_lo
+  eigvals = jnp.stack([e_lo, e_mid, e_hi])
+
+  def eigvec_for(lam):
+    # Null vector of (A - lam I): the largest cross product of two rows.
+    r0 = jnp.stack([a00 - lam, a01, a02])
+    r1 = jnp.stack([a01, a11 - lam, a12])
+    r2 = jnp.stack([a02, a12, a22 - lam])
+    c01 = jnp.cross(r0, r1)
+    c02 = jnp.cross(r0, r2)
+    c12 = jnp.cross(r1, r2)
+    cands = jnp.stack([c01, c02, c12])
+    norms = jnp.sum(cands * cands, axis=1)
+    v = cands[jnp.argmax(norms)]
+    n = jnp.sqrt(jnp.maximum(jnp.sum(v * v), 1e-30))
+    # Repeated eigenvalues make every cross product vanish; any unit
+    # vector completes a valid orthonormal frame then.
+    return jnp.where(n > 1e-12, v / n, jnp.array([1.0, 0.0, 0.0]))
+
+  v_lo = eigvec_for(e_lo)
+  v_hi = eigvec_for(e_hi)
+  # Orthogonal middle vector; re-orthogonalize v_hi defensively.
+  v_hi = v_hi - jnp.sum(v_hi * v_lo) * v_lo
+  v_hi = v_hi / jnp.maximum(jnp.linalg.norm(v_hi), 1e-12)
+  v_mid = jnp.cross(v_hi, v_lo)
+  eigvecs = jnp.stack([v_lo, v_mid, v_hi], axis=1)
+  return eigvals, eigvecs
+
+
 def _control_points(pts, w):
   """Weighted PCA control points (textbook EPnP choice — axis-aligned
   frames measurably hurt planar-case accuracy). pts [n,3], w [n] ->
@@ -54,7 +107,7 @@ def _control_points(pts, w):
   c0 = jnp.sum(pts * w[:, None], axis=0) / wsum
   centered = (pts - c0) * jnp.sqrt(w)[:, None]
   cov = _mm(centered.T, centered) / wsum
-  eigval, eigvec = jnp.linalg.eigh(cov)          # ascending
+  eigval, eigvec = sym_eigh3(cov)                # ascending, analytic
   s = jnp.sqrt(jnp.maximum(eigval, 1e-8))
   ctrl = jnp.concatenate([c0[None], c0[None] + (s[:, None] * eigvec.T)],
                          axis=0)                  # [4, 3]

@@ -64,22 +64,73 @@ def _sample_minimal(rng, avail_logits, num_hyps, sample_size):
   return idx
 
 
+def _morton_key(xy, scale=1.0):
+  """Interleaves the bits of quantized (x, y) -> space-filling curve key.
+
+  Points adjacent along the Morton curve are spatially close, so a window
+  in Morton RANK space approximates a spatial neighborhood ball — the
+  fixed-shape stand-in for GC-RANSAC's neighborhood graph (tau_d =
+  neighbour_max_dist, reference infer.py:80-82)."""
+  x = jnp.clip((xy[:, 0] / scale), 0, 1023).astype(jnp.uint32)
+  y = jnp.clip((xy[:, 1] / scale), 0, 1023).astype(jnp.uint32)
+
+  def spread(v):  # 10 bits -> 20 bits with zeros interleaved.
+    v = (v | (v << 8)) & jnp.uint32(0x00FF00FF)
+    v = (v | (v << 4)) & jnp.uint32(0x0F0F0F0F)
+    v = (v | (v << 2)) & jnp.uint32(0x33333333)
+    v = (v | (v << 1)) & jnp.uint32(0x55555555)
+    return v
+  return (spread(x) | (spread(y) << 1)).astype(jnp.int32)
+
+
+def _sample_minimal_local(rng, avail_f, coord_2d, num_hyps, sample_size,
+                          window=24, cell_px=8.0):
+  """Spatially-local minimal samples: a seed drawn uniformly from the
+  available correspondences plus (sample_size - 1) entries from a window
+  around the seed in Morton order.
+
+  Local sampling is what makes multi-instance scenes tractable: a uniform
+  6-point sample over N same-object instances is single-instance-pure with
+  probability ~ N^-5, while a spatial neighborhood nearly always lies on
+  one instance (the role of GC-RANSAC's neighborhood graph / NAPSAC
+  sampling in Progressive-X, infer.py:80-86)."""
+  C = avail_f.shape[0]
+  key = jnp.where(avail_f > 0, _morton_key(coord_2d, cell_px),
+                  jnp.iinfo(jnp.int32).max)
+  order = jnp.argsort(key)                       # avail entries first-ish
+  inv = jnp.zeros((C,), jnp.int32).at[order].set(
+      jnp.arange(C, dtype=jnp.int32))
+  k_seed, k_off = jax.random.split(rng)
+  seeds = _sample_minimal_uniform(k_seed, avail_f, num_hyps, 1)[:, 0]
+  pos = inv[seeds]                               # [H] rank of each seed
+  offs = jax.random.randint(k_off, (num_hyps, sample_size - 1),
+                            -window, window + 1)
+  picks = order[jnp.clip(pos[:, None] + offs, 0, C - 1)]
+  return jnp.concatenate([seeds[:, None], picks], axis=1)
+
+
 def _sample_minimal_uniform(rng, avail_f, num_hyps, sample_size):
   """[num_hyps, sample_size] uniform draws over available entries via
   inverse-CDF (cumsum + searchsorted).
 
   Orders of magnitude cheaper than Gumbel top-k, which generates
   num_hyps * C randoms and sorts each row (~17M randoms per object at
-  the 400x2048 flagship settings). Duplicates within a sample are
-  possible but rare and harmless: a duplicated point reduces the
-  effective minimal sample by one, and weighted EPnP (num_basis=4)
+  the 400x2048 flagship settings). Uniformity comes from a rank->index
+  lookup table (one O(C) scatter) instead of searchsorted, which XLA
+  lowers as a broadcast compare (num_draws x C). Duplicates within a
+  sample are possible but rare and harmless: a duplicated point reduces
+  the effective minimal sample by one, and weighted EPnP (num_basis=4)
   remains well-posed at 5 points — the hypothesis simply scores low,
   as in any RANSAC with an occasional degenerate draw."""
-  cdf = jnp.cumsum(avail_f)
-  total = jnp.maximum(cdf[-1], 1e-9)
-  u = jax.random.uniform(rng, (num_hyps, sample_size)) * total
-  idx = jnp.searchsorted(cdf, u, side='left')
-  return jnp.clip(idx, 0, avail_f.shape[0] - 1).astype(jnp.int32)
+  C = avail_f.shape[0]
+  avail_i = avail_f > 0
+  ranks = jnp.cumsum(avail_i) - 1                    # rank of each avail entry
+  n_avail = jnp.maximum(ranks[-1] + 1, 1)
+  # lut[rank] = index; non-avail entries write to a spare slot.
+  lut = jnp.zeros((C + 1,), jnp.int32).at[
+      jnp.where(avail_i, ranks, C)].set(jnp.arange(C, dtype=jnp.int32))
+  draw = jax.random.randint(rng, (num_hyps, sample_size), 0, n_avail)
+  return lut[jnp.minimum(draw, C - 1)]
 
 
 def _coverage(px_id, flags, npx):
@@ -115,7 +166,15 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
       logits = jnp.where(avail, jnp.log(conf + 1e-9), -1e9)
       idx = _sample_minimal(key, logits, num_hypotheses, min_corrs)
     else:
-      idx = _sample_minimal_uniform(key, avail_f, num_hypotheses, min_corrs)
+      # Half global uniform samples (single wide-baseline instances),
+      # half spatially-local samples (multi-instance separation).
+      k1, k2 = jax.random.split(key)
+      n_loc = num_hypotheses // 2
+      idx_g = _sample_minimal_uniform(
+          k1, avail_f, num_hypotheses - n_loc, min_corrs)
+      idx_l = _sample_minimal_local(
+          k2, avail_f, coord_2d, n_loc, min_corrs)
+      idx = jnp.concatenate([idx_g, idx_l], axis=0)
 
     pts_h = coord_3d[idx]            # [H, 6, 3]
     uv_h = coord_2d[idx]             # [H, 6, 2]
