@@ -43,10 +43,13 @@ def _load_native():
     if not os.path.exists(_SO_PATH):
       return None
     lib = ctypes.CDLL(_SO_PATH)
-    lib.rasterize.argtypes = [
+    lib.rasterize_tex.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_int,       # V, nv
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int,        # F, nf
         ctypes.POINTER(ctypes.c_uint8),                      # C
+        ctypes.POINTER(ctypes.c_double),                     # UV
+        ctypes.POINTER(ctypes.c_uint8),                      # tex
+        ctypes.c_int, ctypes.c_int,                          # tw, th
         ctypes.POINTER(ctypes.c_double),                     # R
         ctypes.POINTER(ctypes.c_double),                     # t
         ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
@@ -55,13 +58,13 @@ def _load_native():
         ctypes.POINTER(ctypes.c_float),                      # xyz
         ctypes.POINTER(ctypes.c_uint8),                      # rgb
     ]
-    lib.rasterize.restype = None
+    lib.rasterize_tex.restype = None
     _lib = lib
     return _lib
 
 
 def _rasterize_py(V, F, C, R, t, fx, fy, cx, cy, width, height,
-                  want_xyz=True, want_rgb=True):
+                  want_xyz=True, want_rgb=True, UV=None, tex=None):
   """Numpy fallback with the same semantics as native rasterize()."""
   depth = np.zeros((height, width), np.float32)
   xyz = np.zeros((height, width, 3), np.float32) if want_xyz else None
@@ -113,7 +116,14 @@ def _rasterize_py(V, F, C, R, t, fx, fy, cx, cy, width, height,
       n = np.cross(e1, e2)
       nn = np.linalg.norm(n)
       shade = 0.4 + 0.6 * abs(n[2] / nn) if nn > 0 else 1.0
-      if C is not None:
+      if UV is not None and tex is not None:
+        th_, tw_ = tex.shape[:2]
+        u = ka * UV[ia, 0] + kb * UV[ib, 0] + kc * UV[ic, 0]
+        v = ka * UV[ia, 1] + kb * UV[ib, 1] + kc * UV[ic, 1]
+        tx = np.clip(np.round(u * (tw_ - 1)).astype(int), 0, tw_ - 1)
+        ty = np.clip(np.round((1.0 - v) * (th_ - 1)).astype(int), 0, th_ - 1)
+        col = tex[ty, tx].astype(np.float64)
+      elif C is not None:
         col = (ka[..., None] * C[ia] + kb[..., None] * C[ib] +
                kc[..., None] * C[ic])
       else:
@@ -142,9 +152,22 @@ class Renderer:
     self.height = int(height)
 
   def add_object(self, obj_id, model_or_path):
-    """Registers a model: a PLY path or a dict with 'pts'/'faces'."""
+    """Registers a model: a PLY path or a dict with 'pts'/'faces'.
+
+    Texture mapping (bop_renderer parity for textured BOP models like
+    YCB-V): a model with 'texture_uv' per-vertex coordinates and either a
+    'texture' HxWx3 array or a 'texture_file' (resolved relative to the
+    PLY path) renders with nearest-texel sampling."""
     if isinstance(model_or_path, str):
       model = bop.load_ply(model_or_path)
+      if 'texture_file' in model and 'texture' not in model:
+        tex_path = os.path.join(os.path.dirname(model_or_path),
+                                model['texture_file'])
+        if os.path.exists(tex_path):
+          import cv2
+          tex = cv2.imread(tex_path, cv2.IMREAD_COLOR)
+          if tex is not None:
+            model['texture'] = cv2.cvtColor(tex, cv2.COLOR_BGR2RGB)
     else:
       model = model_or_path
     V = np.ascontiguousarray(model['pts'], np.float64)
@@ -152,7 +175,13 @@ class Renderer:
     C = model.get('colors')
     if C is not None:
       C = np.ascontiguousarray(np.clip(C, 0, 255), np.uint8)
-    self._models[int(obj_id)] = (V, F, C)
+    UV = model.get('texture_uv')
+    tex = model.get('texture')
+    if UV is not None:
+      UV = np.ascontiguousarray(UV, np.float64)
+    if tex is not None:
+      tex = np.ascontiguousarray(tex, np.uint8)
+    self._models[int(obj_id)] = (V, F, C, UV, tex)
 
   def _results(self):
     if not hasattr(self._local, 'results'):
@@ -162,7 +191,7 @@ class Renderer:
   def render_object(self, obj_id, R, t, fx, fy, cx, cy,
                     want_xyz=True, want_rgb=True):
     """Renders object obj_id under pose (R, t). R: 9 floats or 3x3."""
-    V, F, C = self._models[int(obj_id)]
+    V, F, C, UV, tex = self._models[int(obj_id)]
     R = np.asarray(R, np.float64).reshape(3, 3)
     t = np.asarray(t, np.float64).reshape(3)
     w, h = self.width, self.height
@@ -171,15 +200,22 @@ class Renderer:
       depth = np.zeros((h, w), np.float32)
       xyz = np.zeros((h, w, 3), np.float32) if want_xyz else None
       rgb = np.zeros((h, w, 3), np.uint8) if want_rgb else None
+      null_u8 = ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8))
+      null_f64 = ctypes.cast(None, ctypes.POINTER(ctypes.c_double))
       cptr = (C.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
-              if C is not None else
-              ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8)))
+              if C is not None else null_u8)
+      uvptr = (UV.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+               if UV is not None else null_f64)
+      texptr = (tex.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+                if tex is not None else null_u8)
+      tw = tex.shape[1] if tex is not None else 0
+      th = tex.shape[0] if tex is not None else 0
       Rc = np.ascontiguousarray(R)
       tc = np.ascontiguousarray(t)
-      self._native.rasterize(
+      self._native.rasterize_tex(
           V.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), V.shape[0],
           F.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), F.shape[0],
-          cptr,
+          cptr, uvptr, texptr, tw, th,
           Rc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
           tc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
           float(fx), float(fy), float(cx), float(cy), w, h,
@@ -187,10 +223,11 @@ class Renderer:
           (xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) if want_xyz
            else ctypes.cast(None, ctypes.POINTER(ctypes.c_float))),
           (rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) if want_rgb
-           else ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8))))
+           else null_u8))
     else:
       depth, xyz, rgb = _rasterize_py(
-          V, F, C, R, t, fx, fy, cx, cy, w, h, want_xyz, want_rgb)
+          V, F, C, R, t, fx, fy, cx, cy, w, h, want_xyz, want_rgb,
+          UV=UV, tex=tex)
 
     self._results()[int(obj_id)] = (depth, xyz, rgb)
 

@@ -24,6 +24,11 @@ extern "C" {
 // V:        [nv * 3] doubles, model-space vertices (millimeters).
 // F:        [nf * 3] ints, triangle vertex indices.
 // C:        [nv * 3] uint8 per-vertex colors, may be null.
+// UV:       [nv * 2] doubles, per-vertex texture coordinates in [0, 1]
+//           (v = 0 at the BOTTOM of the texture, the BOP/OpenGL
+//           convention). May be null.
+// tex:      [th * tw * 3] uint8 texture image (row 0 = TOP). May be null;
+//           texture sampling needs both UV and tex.
 // R:        [9] row-major rotation (model -> camera).
 // t:        [3] translation (model -> camera).
 // fx,fy,cx,cy: pinhole intrinsics (pixel units).
@@ -31,12 +36,16 @@ extern "C" {
 // depth_out: [h * w] float, 0 where no surface.
 // xyz_out:  [h * w * 3] float, object-local coordinates of the visible
 //           surface point (0 where no surface). May be null.
-// rgb_out:  [h * w * 3] uint8 flat-shaded color. May be null.
-void rasterize(const double* V, int nv, const int32_t* F, int nf,
-               const uint8_t* C, const double* R, const double* t,
-               double fx, double fy, double cx, double cy,
-               int width, int height,
-               float* depth_out, float* xyz_out, uint8_t* rgb_out) {
+// rgb_out:  [h * w * 3] uint8 shaded color: textured (nearest texel) when
+//           UV+tex are given, else interpolated vertex colors. May be null.
+void rasterize_tex(const double* V, int nv, const int32_t* F, int nf,
+                   const uint8_t* C, const double* UV,
+                   const uint8_t* tex, int tw, int th,
+                   const double* R, const double* t,
+                   double fx, double fy, double cx, double cy,
+                   int width, int height,
+                   float* depth_out, float* xyz_out, uint8_t* rgb_out) {
+  const bool textured = UV != nullptr && tex != nullptr && tw > 0 && th > 0;
   const int npx = width * height;
   std::memset(depth_out, 0, sizeof(float) * npx);
   if (xyz_out) std::memset(xyz_out, 0, sizeof(float) * npx * 3);
@@ -126,10 +135,29 @@ void rasterize(const double* V, int nv, const int32_t* F, int nf,
           }
         }
         if (rgb_out) {
+          const uint8_t* texel = nullptr;
+          if (textured) {
+            // Perspective-correct UV; v flipped (texture row 0 = top).
+            const double u = ka * UV[ia * 2] + kb * UV[ib * 2] +
+                             kc * UV[ic * 2];
+            const double v = ka * UV[ia * 2 + 1] + kb * UV[ib * 2 + 1] +
+                             kc * UV[ic * 2 + 1];
+            int tx = (int)std::lround(u * (tw - 1));
+            int ty = (int)std::lround((1.0 - v) * (th - 1));
+            tx = std::min(tw - 1, std::max(0, tx));
+            ty = std::min(th - 1, std::max(0, ty));
+            texel = tex + (ty * tw + tx) * 3;
+          }
           for (int d = 0; d < 3; ++d) {
-            double col = C ? (ka * C[ia * 3 + d] + kb * C[ib * 3 + d] +
-                              kc * C[ic * 3 + d])
-                           : 200.0;
+            double col;
+            if (texel) {
+              col = texel[d];
+            } else if (C) {
+              col = ka * C[ia * 3 + d] + kb * C[ib * 3 + d] +
+                    kc * C[ic * 3 + d];
+            } else {
+              col = 200.0;
+            }
             col *= shade;
             rgb_out[idx * 3 + d] =
                 (uint8_t)std::min(255.0, std::max(0.0, col));
@@ -140,6 +168,16 @@ void rasterize(const double* V, int nv, const int32_t* F, int nf,
   }
   delete[] cam;
   delete[] px;
+}
+
+// Untextured compatibility entry point (vertex colors / constant gray).
+void rasterize(const double* V, int nv, const int32_t* F, int nf,
+               const uint8_t* C, const double* R, const double* t,
+               double fx, double fy, double cx, double cy,
+               int width, int height,
+               float* depth_out, float* xyz_out, uint8_t* rgb_out) {
+  rasterize_tex(V, nv, F, nf, C, nullptr, nullptr, 0, 0, R, t,
+                fx, fy, cx, cy, width, height, depth_out, xyz_out, rgb_out);
 }
 
 }  // extern "C"

@@ -127,3 +127,50 @@ def test_thread_safety():
     work(tid)
     serial = r.get_depth_image(s['obj_id']).copy()
     np.testing.assert_array_equal(results[tid], serial)
+
+
+def test_textured_rendering_native_and_fallback():
+  """Texture mapping (bop_renderer parity for textured BOP models): a quad
+  with UV coordinates renders the texture's quadrant colors in the right
+  image regions, identically in the native and numpy paths."""
+  from epos_tpu.data import renderer as renderer_lib
+  # A camera-facing square: corners with UVs covering the full texture.
+  V = np.array([[-30, -30, 0], [30, -30, 0], [30, 30, 0], [-30, 30, 0]],
+               np.float64)
+  F = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+  # v=0 at the BOTTOM (OpenGL/BOP convention). Model +y projects DOWN in
+  # image coords (y grows downward).
+  UV = np.array([[0, 1], [1, 1], [1, 0], [0, 0]], np.float64)
+  tex = np.zeros((8, 8, 3), np.uint8)
+  tex[:4, :4] = [255, 0, 0]     # top-left texel block
+  tex[:4, 4:] = [0, 255, 0]
+  tex[4:, :4] = [0, 0, 255]
+  tex[4:, 4:] = [255, 255, 0]
+  model = {'pts': V, 'faces': F, 'texture_uv': UV, 'texture': tex}
+  K = np.array([[200.0, 0, 32], [0, 200.0, 32], [0, 0, 1]])
+  R = np.eye(3)
+  t = np.array([0.0, 0.0, 200.0])
+
+  outs = {}
+  for native in (True, False):
+    r = renderer_lib.Renderer()
+    if not native:
+      r._native = None
+    r.init(64, 64)
+    r.add_object(1, dict(model))
+    r.render_object(1, R.flatten(), t, K[0, 0], K[1, 1], K[0, 2], K[1, 2])
+    outs[native] = (r.get_color_image(1).copy(),
+                    r.get_depth_image(1).copy())
+
+  for native, (rgb, depth) in outs.items():
+    assert (depth > 0).sum() > 1000, native
+    # UV (0,1) at model (-30,-30): image top-left shows texture row 0
+    # (v=1 -> top). Sample quadrant centers inside the quad projection.
+    # Quad spans image [2..62]^2; quadrant centers at ~(17,17) etc.
+    np.testing.assert_array_equal(rgb[17, 17] > 0,
+                                  np.array([True, False, False]), native)
+    assert rgb[17, 47][1] > 0 and rgb[17, 47][0] == 0, (native, rgb[17, 47])
+    assert rgb[47, 17][2] > 0 and rgb[47, 17][0] == 0, (native, rgb[47, 17])
+    assert rgb[47, 47][0] > 0 and rgb[47, 47][1] > 0, (native, rgb[47, 47])
+  # Native and fallback agree everywhere (same sampling rules).
+  np.testing.assert_array_equal(outs[True][0], outs[False][0])
