@@ -17,8 +17,13 @@ full fragment rows in XLA (a sparse [capacity, F] gather), keeping EXACT
 reference semantics with an unbounded number of fragments per pixel
 (epos_lib/corresp.py:63-67, the symmetric-object mechanism).
 
-Grid: (num_objs, pixel_tiles). Each program handles a [TILE_PX, F] logit
-block in VMEM.
+Layout: PIXELS ride the lane (minor) axis in 128-multiple tiles and the
+fragment axis rides the sublanes — the [O*F, npx] view keeps every vector
+register full. (A [pixels, F] layout with F=64 lanes or scalar outputs
+leaves registers half-empty and measured ~20x slower.)
+
+Grid: (num_objs, pixel_tiles). Each program reduces a [F, TILE_PX] logit
+block over the fragment axis in VMEM.
 """
 
 import functools
@@ -35,21 +40,26 @@ def _best_score_kernel(obj_conf_ref, frag_logits_ref, best_ref, *,
                        min_obj_conf):
   """One (object, pixel-tile) program.
 
-  obj_conf_ref:    [TILE_PX, 1]  P(obj) at each pixel (softmaxed outside).
-  frag_logits_ref: [TILE_PX, F]  fragment logits for this object.
-  best_ref:        [TILE_PX, 1]  output best survivor score (0 = no
-                                 survivor / tau_a failed).
+  obj_conf_ref:    [num_objs, TILE_PX]  P(obj) for ALL objects (full-dim
+                                        block — sublane blocks of 1 are not
+                                        lowerable; this object's row is
+                                        loaded dynamically).
+  frag_logits_ref: [F, TILE_PX]  fragment logits for this object.
+  best_ref:        [1, 8, TILE_PX]  output best survivor score broadcast
+                                    over 8 sublanes (minimum tile height).
   """
-  logits = frag_logits_ref[0].astype(jnp.float32)          # [TILE_PX, F]
-  obj_conf = obj_conf_ref[0].astype(jnp.float32)           # [TILE_PX, 1]
+  o = pl.program_id(0)
+  logits = frag_logits_ref[...].astype(jnp.float32)        # [F, TILE_PX]
+  obj_conf = obj_conf_ref[pl.dslice(o, 1), :].astype(jnp.float32)
 
-  # max softmax prob == exp(max - max) / sum(exp(l - max)) = 1 / denom.
-  m = jnp.max(logits, axis=1, keepdims=True)
-  denom = jnp.sum(jnp.exp(logits - m), axis=1, keepdims=True)
-  pmax = 1.0 / denom                                       # [TILE_PX, 1]
+  # max softmax prob == 1 / sum(exp(l - max)) — reduced over sublanes (F).
+  m = jnp.max(logits, axis=0, keepdims=True)
+  denom = jnp.sum(jnp.exp(logits - m), axis=0, keepdims=True)
+  pmax = 1.0 / denom                                       # [1, TILE_PX]
 
   ok = obj_conf > min_obj_conf
-  best_ref[0] = jnp.where(ok, pmax * obj_conf, 0.0)
+  best = jnp.where(ok, pmax * obj_conf, 0.0)               # [1, TILE_PX]
+  best_ref[0] = jnp.broadcast_to(best, (8,) + best.shape[1:])
 
 
 @functools.partial(jax.jit, static_argnames=('min_obj_conf',))
@@ -64,28 +74,23 @@ def best_scores(obj_confs, frag_logits, min_obj_conf=0.1):
   """
   h, w, num_objs, num_frags = frag_logits.shape
   npx = h * w
-  # Prefer a tile that divides npx exactly (no pad/slice copies of the
-  # ~100MB logits): largest multiple-of-8 divisor <= 2048 (the kernel's
-  # live intermediates are ~4x the block -> stay under the 16MB VMEM), else
-  # fall back to padding with TILE_PX.
+  # Lane tiles must be 128-multiples; prefer one that divides npx exactly
+  # (no pad/slice copies of the ~100MB logits).
   tile = 0
-  for cand in range(min(2048, npx), 7, -1):
-    if npx % cand == 0 and cand % 8 == 0:
+  for cand in range(min(2048, npx), 127, -128):
+    if npx % cand == 0 and cand % 128 == 0:
       tile = cand
       break
   tile = tile or TILE_PX
   npx_pad = ((npx + tile - 1) // tile) * tile
 
-  # [O, npx, F]: TPU Pallas needs the lane dim (F) to equal the array's
-  # last dim; the natural [npx, O*F] layout cannot be lane-sliced per
-  # object (o*F offsets aren't 128-aligned), so transpose once here.
-  obj = obj_confs.reshape(npx, num_objs + 1)[:, 1:]
-  fl = frag_logits.reshape(npx, num_objs, num_frags).transpose(1, 0, 2)
-  obj_t = obj.T.reshape(num_objs, npx, 1)
+  # [O*F, npx]: fragments on sublanes, pixels on lanes.
+  fl = frag_logits.reshape(npx, num_objs * num_frags).T
+  obj = obj_confs.reshape(npx, num_objs + 1)[:, 1:].T      # [O, npx]
   if npx_pad != npx:
     # Padding pixels get zero object confidence -> fail tau_a -> conf 0.
-    fl = jnp.pad(fl, ((0, 0), (0, npx_pad - npx), (0, 0)))
-    obj_t = jnp.pad(obj_t, ((0, 0), (0, npx_pad - npx), (0, 0)))
+    fl = jnp.pad(fl, ((0, 0), (0, npx_pad - npx)))
+    obj = jnp.pad(obj, ((0, 0), (0, npx_pad - npx)))
 
   kernel = functools.partial(_best_score_kernel, min_obj_conf=min_obj_conf)
 
@@ -95,14 +100,14 @@ def best_scores(obj_confs, frag_logits, min_obj_conf=0.1):
       kernel,
       grid=grid,
       in_specs=[
-          pl.BlockSpec((1, tile, 1), lambda o, p: (o, p, 0),
+          pl.BlockSpec((num_objs, tile), lambda o, p: (0, p),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, tile, num_frags), lambda o, p: (o, p, 0),
+          pl.BlockSpec((num_frags, tile), lambda o, p: (o, p),
                        memory_space=pltpu.VMEM),
       ],
-      out_specs=pl.BlockSpec((1, tile, 1), lambda o, p: (o, p, 0),
+      out_specs=pl.BlockSpec((1, 8, tile), lambda o, p: (o, 0, p),
                              memory_space=pltpu.VMEM),
-      out_shape=jax.ShapeDtypeStruct((num_objs, npx_pad, 1), jnp.float32),
+      out_shape=jax.ShapeDtypeStruct((num_objs, 8, npx_pad), jnp.float32),
       interpret=interpret,
-  )(obj_t, fl)
-  return best[:, :npx, 0]
+  )(obj, fl)
+  return best[:, 0, :npx]

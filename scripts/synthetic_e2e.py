@@ -33,8 +33,9 @@ def main(args=None):
   p.add_argument('--work_dir', required=True)
   p.add_argument('--steps', type=int, default=12000)
   p.add_argument('--variant', default='xception_micro')
-  p.add_argument('--num_frags', type=int, default=8)
-  p.add_argument('--train_images', type=int, default=256)
+  p.add_argument('--num_frags', type=int, default=16)
+  p.add_argument('--gt_knn_frags', type=int, default=3)
+  p.add_argument('--train_images', type=int, default=512)
   p.add_argument('--test_images', type=int, default=8)
   p.add_argument('--instances_per_obj', type=int, default=2)
   p.add_argument('--batch_size', type=int, default=4)
@@ -75,6 +76,10 @@ def main(args=None):
     yaml.safe_dump({
         'dataset': 'synthbox', 'model_variant': ns.variant,
         'num_frags': ns.num_frags, 'atrous_rates': [2, 4],
+        # k nearest fragments per GT pixel: near-miss fragment
+        # classifications then carry TRAINED offsets instead of garbage
+        # (the loc loss only supervises labeled fragments, loss.py:232-303).
+        'gt_knn_frags': ns.gt_knn_frags,
         'train_crop_size': '160,120', 'infer_crop_size': '160,120',
         'train_max_height_before_crop': 120,
         'infer_max_height_before_crop': 120,
@@ -90,7 +95,9 @@ def main(args=None):
         'gt_cache_dir': os.path.join(root, 'gt_cache'),
         'data_augmentations': {
             'random_adjust_brightness': {'min_delta': -0.1,
-                                         'max_delta': 0.1}},
+                                         'max_delta': 0.1},
+            'random_adjust_contrast': {'min_delta': -0.2, 'max_delta': 0.2},
+            'random_gaussian_noise': {'max_sigma': 0.03}},
     }, f)
 
   import scripts.create_example_list as cel
