@@ -136,7 +136,7 @@ class Config:
   min_hypothesis_quality: float = 0.5     # tau_q
   required_progx_confidence: float = 0.5  # [compat]
   required_ransac_confidence: float = 1.0  # [compat]
-  min_triangle_area: float = 0.0          # tau_t [compat]
+  min_triangle_area: float = 0.0          # tau_t: degenerate-sample gate
   use_prosac: bool = False
   max_model_number_for_pearl: int = 5     # [compat]
   spatial_coherence_weight: float = 0.1   # [compat]

@@ -65,7 +65,8 @@ class InferenceEngine:
         inlier_thresh=cfg.inlier_thresh,
         max_instances=self.max_instances,
         min_quality=cfg.min_hypothesis_quality,
-        use_prosac=cfg.use_prosac)
+        use_prosac=cfg.use_prosac,
+        min_triangle_area=cfg.min_triangle_area)
 
     def predict_fn(variables, images):
       # Weights as arguments: closure capture embeds them as program

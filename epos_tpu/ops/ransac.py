@@ -7,9 +7,12 @@ SURVEY.md §2.3). Redesigned for XLA:
 - All hypotheses are generated and scored in ONE batched pass (vmap over
   hypotheses), instead of a sequential RANSAC loop: `max_fitting_iterations`
   (reference default 400, infer.py:118-120) becomes the hypothesis batch size.
-- Minimal 6-point samples (min_point_number=6, infer.py:482) are drawn with
-  masked Gumbel top-k -> distinct indices, optionally weighted by confidence
-  (PROSAC-flavored sampling, infer.py:98-100).
+- Minimal 6-point samples (min_point_number=6, infer.py:482): half drawn
+  uniformly over available correspondences (rank-LUT sampling), half
+  spatially local via a Morton-order window around a random seed (the
+  GC-RANSAC neighborhood-graph role, tau_d); PROSAC-weighted Gumbel top-k
+  when use_prosac (infer.py:98-100). Degenerate samples are gated by
+  tau_t (min_triangle_area).
 - Multi-instance estimation follows the Progressive-X philosophy: fit the
   best instance, consume its inliers, repeat (a lax.while_loop with a fixed
   instance capacity and an early exit once a round fails) — replacing
@@ -144,7 +147,7 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
                   rng, num_hypotheses=400, inlier_thresh=4.0,
                   max_instances=1, num_instances=1,
                   min_quality=0.5, use_prosac=False, refine_iters=3,
-                  min_corrs=6):
+                  min_corrs=6, min_triangle_area=0.0):
   """Fits up to `num_instances` poses of one object.
 
   Args:
@@ -206,6 +209,21 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
     gain = jnp.maximum(0.0, 1.0 - (errs / inlier_thresh) ** 2)
     scores = jnp.sum(gain * (conf * avail.astype(jnp.float32))[None, :],
                      axis=1)
+    if min_triangle_area > 0.0:
+      # tau_t (reference infer.py:93-95 / pyprogressivex min_triangle_area):
+      # degenerate minimal samples — 2D points spanning (almost) no area —
+      # are discarded. Here: the largest triangle over the sample's first
+      # three point pairs must exceed tau_t px^2.
+      p = coord_2d[idx]                                # [H, S, 2]
+      e1 = p[:, 1] - p[:, 0]
+      e2 = p[:, 2] - p[:, 0]
+      e3 = p[:, 3] - p[:, 0]
+      areas = 0.5 * jnp.maximum(
+          jnp.abs(e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]),
+          jnp.abs(e1[:, 0] * e3[:, 1] - e1[:, 1] * e3[:, 0]))
+      ok_area = jnp.concatenate(
+          [areas >= min_triangle_area, jnp.ones((1,), bool)])  # full-set hyp
+      scores = jnp.where(ok_area, scores, -1.0)
     best = jnp.argmax(scores)
     R_b, t_b = R_h[best], t_h[best]
 
@@ -288,7 +306,7 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
 
 def fit_all_objects(corrs, K, npx, rng, instance_counts, num_hypotheses=400,
                     inlier_thresh=4.0, max_instances=1, min_quality=0.5,
-                    use_prosac=False, refine_iters=3):
+                    use_prosac=False, refine_iters=3, min_triangle_area=0.0):
   """vmap of fit_instances over the object axis of a Correspondences batch.
 
   corrs: epos_tpu.ops.corresp.Correspondences ([O, C, ...] arrays).
@@ -304,7 +322,7 @@ def fit_all_objects(corrs, K, npx, rng, instance_counts, num_hypotheses=400,
         num_hypotheses=num_hypotheses, inlier_thresh=inlier_thresh,
         max_instances=max_instances, num_instances=n_inst,
         min_quality=min_quality, use_prosac=use_prosac,
-        refine_iters=refine_iters)
+        refine_iters=refine_iters, min_triangle_area=min_triangle_area)
 
   return jax.vmap(per_obj)(
       corrs.coord_2d, corrs.coord_3d, corrs.conf, corrs.px_id, corrs.valid,

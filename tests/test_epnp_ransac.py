@@ -430,3 +430,26 @@ def test_ransac_small_clustered_set():
   # Depth along the viewing ray is weakly constrained by a single noisy
   # face; bound loosely.
   assert dt < 60.0, f'translation err {dt}'
+
+
+def test_min_triangle_area_rejects_degenerate_samples():
+  """tau_t (min_triangle_area): with a huge threshold every minimal sample
+  is degenerate-by-definition and only the full-set hypothesis survives;
+  with the default 0 the behavior is unchanged (reference infer.py:93-95)."""
+  pts, uv, R, t = make_corrs(100, seed=50, noise=0.2)
+  args = (jnp.asarray(uv, jnp.float32), jnp.asarray(pts, jnp.float32),
+          jnp.ones(100, jnp.float32), jnp.arange(100, dtype=jnp.int32),
+          jnp.ones(100, bool), jnp.asarray(K, jnp.float32))
+  res0 = ransac.fit_instances(*args, npx=256, rng=jax.random.PRNGKey(0),
+                              num_hypotheses=64, inlier_thresh=4.0,
+                              max_instances=1, num_instances=1,
+                              min_quality=0.3, min_triangle_area=0.0)
+  res1 = ransac.fit_instances(*args, npx=256, rng=jax.random.PRNGKey(0),
+                              num_hypotheses=64, inlier_thresh=4.0,
+                              max_instances=1, num_instances=1,
+                              min_quality=0.3, min_triangle_area=5.0)
+  # Clean data: both find the pose (non-degenerate samples pass tau_t).
+  for res in (res0, res1):
+    assert bool(res.valid[0])
+    ang, dt = pose_errors(res.R[0], res.t[0], R, t)
+    assert ang < 2.0 and dt < 15.0
