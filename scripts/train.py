@@ -97,9 +97,13 @@ def main(args=None):
   # Resume or warm start (train.py:502, train_utils.py:31-81).
   ckpt_dir = os.path.join(model_dir, 'checkpoints')
   restored = checkpoints.restore_checkpoint(ckpt_dir, state)
+  # Host-side step counter: int(state.step) would be a D2H scalar read
+  # through the tunnel at startup (hazard: can stall for minutes).
+  steps_done = 0
   if restored is not None:
     state = restored
-    log.info('Resumed from step %d', int(state.step))
+    steps_done = int(checkpoints.latest_step(ckpt_dir) or 0)
+    log.info('Resumed from step %d', steps_done)
   elif cfg.initial_checkpoint:
     init_dir = os.path.join(config_epos.TF_MODELS_PATH,
                             cfg.initial_checkpoint)
@@ -122,7 +126,6 @@ def main(args=None):
   log.info('Training for %d steps (batch %d over %d devices)',
            cfg.train_steps, global_batch, n_dev)
   t_last = time.time()
-  steps_done = int(state.step)
   data_iter = iter(loader)
   # Profiler window (reference --profile_logdir wraps the whole session,
   # train.py:66-69,534-541; a bounded window keeps traces usable).
