@@ -37,6 +37,8 @@ class Config:
   min_visib_fract: float = 0.1
   corr_min_obj_conf: float = 0.1        # tau_a
   corr_min_frag_rel_conf: float = 0.5   # tau_b
+  # [compat] accepted and inert — inert in the REFERENCE too: defined at
+  # common.py:78-80 but never read; --project_to_surface is the live flag.
   corr_project_to_model: bool = False
 
   # --- Model flags (reference: epos_lib/common.py:83-154) ---
@@ -92,7 +94,6 @@ class Config:
   learning_rate_decay_factor: float = 0.1
   learning_rate_decay_step: int = 2000
   learning_power: float = 0.9
-  training_number_of_steps: int = 2000000
   momentum: float = 0.9
   slow_start_step: int = 0
   slow_start_learning_rate: float = 1e-4

@@ -80,6 +80,30 @@ class ObjectModelStore:
         sizes[obj_id - 1] = self.frag_sizes[obj_id]
     return centers, sizes
 
+  def vertex_arrays(self, num_objs=None, max_verts=4096):
+    """Zero-padded [num_objs, Vmax, 3] vertex array + counts for the
+    on-device --project_to_surface path (subsampled beyond max_verts —
+    nearest-vertex projection on the dense eval models)."""
+    if self.models is None:
+      self.load_models()
+    if num_objs is None:
+      num_objs = self.num_objs
+    vmax = 1
+    pts_per_obj = {}
+    for obj_id, m in self.models.items():
+      pts = m['pts']
+      if len(pts) > max_verts:
+        pts = pts[:: len(pts) // max_verts][:max_verts]
+      pts_per_obj[obj_id] = pts
+      vmax = max(vmax, len(pts))
+    verts = np.zeros((num_objs, vmax, 3), np.float32)
+    counts = np.zeros((num_objs,), np.int32)
+    for obj_id, pts in pts_per_obj.items():
+      if 1 <= obj_id <= num_objs:
+        verts[obj_id - 1, :len(pts)] = pts
+        counts[obj_id - 1] = len(pts)
+    return verts, counts
+
   def project_pts_to_model(self, pts, obj_id):
     """Closest-point projection onto the model point cloud.
 

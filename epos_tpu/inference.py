@@ -51,6 +51,13 @@ class InferenceEngine:
     centers, sizes = model_store.frag_arrays(num_objs)
     self.frag_centers = jnp.asarray(centers)
     self.frag_sizes = jnp.asarray(sizes)
+    # --project_to_surface: snap predicted 3D points to the model surface
+    # (nearest vertex) on device (reference corresp.py:87-88).
+    self._proj_verts = self._proj_counts = None
+    if cfg.project_to_surface:
+      verts, counts = model_store.vertex_arrays(num_objs)
+      self._proj_verts = jnp.asarray(verts)
+      self._proj_counts = jnp.asarray(counts)
     self.max_instances = max(1, cfg.max_instances_to_fit or
                              cfg.max_gt_instances)
 
@@ -66,7 +73,8 @@ class InferenceEngine:
         max_instances=self.max_instances,
         min_quality=cfg.min_hypothesis_quality,
         use_prosac=cfg.use_prosac,
-        min_triangle_area=cfg.min_triangle_area)
+        min_triangle_area=cfg.min_triangle_area,
+        neighbour_px=cfg.neighbour_max_dist)
 
     def predict_fn(variables, images):
       # Weights as arguments: closure capture embeds them as program
@@ -103,21 +111,26 @@ class InferenceEngine:
 
     def corresp_fn(preds, obj_enable):
       if self.use_pallas:
-        return corresp_lib.establish_many_to_many_fused(
+        corrs = corresp_lib.establish_many_to_many_fused(
             preds[common.PRED_OBJ_CONF][0], preds['frag_logits'][0],
             preds[common.PRED_FRAG_LOC][0], self.frag_centers,
             self.frag_sizes, self.output_scale,
             obj_mask_enable=obj_enable, **cfg_f)
-      fc = preds[common.PRED_FRAG_CONF][0]
-      fl = preds[common.PRED_FRAG_LOC][0]
-      h, w = fc.shape[:2]
-      # Agnostic heads -> broadcast the single class over objects.
-      fc = jnp.broadcast_to(fc, (h, w, num_objs, cfg.num_frags))
-      fl = jnp.broadcast_to(fl, (h, w, num_objs, cfg.num_frags, 3))
-      return corresp_lib.establish_many_to_many(
-          preds[common.PRED_OBJ_CONF][0], fc, fl, self.frag_centers,
-          self.frag_sizes, self.output_scale,
-          obj_mask_enable=obj_enable, **cfg_f)
+      else:
+        fc = preds[common.PRED_FRAG_CONF][0]
+        fl = preds[common.PRED_FRAG_LOC][0]
+        h, w = fc.shape[:2]
+        # Agnostic heads -> broadcast the single class over objects.
+        fc = jnp.broadcast_to(fc, (h, w, num_objs, cfg.num_frags))
+        fl = jnp.broadcast_to(fl, (h, w, num_objs, cfg.num_frags, 3))
+        corrs = corresp_lib.establish_many_to_many(
+            preds[common.PRED_OBJ_CONF][0], fc, fl, self.frag_centers,
+            self.frag_sizes, self.output_scale,
+            obj_mask_enable=obj_enable, **cfg_f)
+      if self._proj_verts is not None:
+        corrs = corresp_lib.project_to_model_vertices(
+            corrs, self._proj_verts, self._proj_counts)
+      return corrs
 
     def fit_fn(corrs, K, instance_counts, rng):
       return ransac.fit_all_objects(

@@ -127,6 +127,45 @@ def establish_many_to_many(obj_confs, frag_confs, frag_coords, frag_centers,
   return Correspondences(*outs)
 
 
+def project_to_model_vertices(corrs, model_verts, vert_counts,
+                              chunk=256):
+  """Projects coord_3d onto the nearest model vertex on device.
+
+  The --project_to_surface path (reference epos_lib/corresp.py:87-88
+  projects through an igl AABB tree on host; the nearest-vertex
+  approximation is adequate on the dense BOP eval models and keeps the
+  whole inference jitted).
+
+  Args:
+    corrs: Correspondences ([O, C, ...]).
+    model_verts: [O, Vmax, 3] zero-padded vertex arrays.
+    vert_counts: [O] int32 valid-vertex counts.
+    chunk: correspondence chunk size bounding the [chunk, Vmax] distance
+      matrix (full [C, Vmax] would be ~0.5GB at flagship sizes).
+  Returns Correspondences with snapped coord_3d.
+  """
+  O, C, _ = corrs.coord_3d.shape
+  Vmax = model_verts.shape[1]
+  pad = (-C) % chunk
+  n_chunks = (C + pad) // chunk
+
+  def per_obj(c3d, verts, n):
+    vmask = jnp.arange(Vmax) < n
+    c3d_p = jnp.pad(c3d, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
+
+    def one_chunk(pts):
+      d2 = jnp.sum((pts[:, None, :] - verts[None]) ** 2, axis=-1)
+      d2 = jnp.where(vmask[None], d2, jnp.inf)
+      return verts[jnp.argmin(d2, axis=1)]
+
+    snapped = jax.lax.map(one_chunk, c3d_p).reshape(-1, 3)[:C]
+    return snapped
+
+  new3d = jax.vmap(per_obj)(corrs.coord_3d, model_verts, vert_counts)
+  new3d = jnp.where(corrs.valid[..., None], new3d, 0.0)
+  return corrs._replace(coord_3d=new3d)
+
+
 def establish_many_to_many_fused(obj_confs, frag_logits, frag_coords,
                                  frag_centers, frag_sizes, output_scale,
                                  capacity=2048, min_obj_conf=0.1,

@@ -87,7 +87,7 @@ def _morton_key(xy, scale=1.0):
 
 
 def _sample_minimal_local(rng, avail_f, coord_2d, num_hyps, sample_size,
-                          window=24, cell_px=8.0):
+                          neighbour_px=20.0, cell_px=8.0):
   """Spatially-local minimal samples: a seed drawn uniformly from the
   available correspondences plus (sample_size - 1) entries from a window
   around the seed in Morton order.
@@ -98,6 +98,9 @@ def _sample_minimal_local(rng, avail_f, coord_2d, num_hyps, sample_size,
   one instance (the role of GC-RANSAC's neighborhood graph / NAPSAC
   sampling in Progressive-X, infer.py:80-86)."""
   C = avail_f.shape[0]
+  # Morton-rank window covering ~ the tau_d-radius disk:
+  # pi * (tau_d/cell)^2 cells, at least 8.
+  window = max(8, int(3.1416 * (neighbour_px / cell_px) ** 2 / 2))
   key = jnp.where(avail_f > 0, _morton_key(coord_2d, cell_px),
                   jnp.iinfo(jnp.int32).max)
   order = jnp.argsort(key)                       # avail entries first-ish
@@ -147,7 +150,7 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
                   rng, num_hypotheses=400, inlier_thresh=4.0,
                   max_instances=1, num_instances=1,
                   min_quality=0.5, use_prosac=False, refine_iters=3,
-                  min_corrs=6, min_triangle_area=0.0):
+                  min_corrs=6, min_triangle_area=0.0, neighbour_px=20.0):
   """Fits up to `num_instances` poses of one object.
 
   Args:
@@ -176,7 +179,8 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
       idx_g = _sample_minimal_uniform(
           k1, avail_f, num_hypotheses - n_loc, min_corrs)
       idx_l = _sample_minimal_local(
-          k2, avail_f, coord_2d, n_loc, min_corrs)
+          k2, avail_f, coord_2d, n_loc, min_corrs,
+          neighbour_px=neighbour_px)
       idx = jnp.concatenate([idx_g, idx_l], axis=0)
 
     pts_h = coord_3d[idx]            # [H, 6, 3]
@@ -306,7 +310,8 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
 
 def fit_all_objects(corrs, K, npx, rng, instance_counts, num_hypotheses=400,
                     inlier_thresh=4.0, max_instances=1, min_quality=0.5,
-                    use_prosac=False, refine_iters=3, min_triangle_area=0.0):
+                    use_prosac=False, refine_iters=3, min_triangle_area=0.0,
+                    neighbour_px=20.0):
   """vmap of fit_instances over the object axis of a Correspondences batch.
 
   corrs: epos_tpu.ops.corresp.Correspondences ([O, C, ...] arrays).
@@ -322,7 +327,8 @@ def fit_all_objects(corrs, K, npx, rng, instance_counts, num_hypotheses=400,
         num_hypotheses=num_hypotheses, inlier_thresh=inlier_thresh,
         max_instances=max_instances, num_instances=n_inst,
         min_quality=min_quality, use_prosac=use_prosac,
-        refine_iters=refine_iters, min_triangle_area=min_triangle_area)
+        refine_iters=refine_iters, min_triangle_area=min_triangle_area,
+        neighbour_px=neighbour_px)
 
   return jax.vmap(per_obj)(
       corrs.coord_2d, corrs.coord_3d, corrs.conf, corrs.px_id, corrs.valid,

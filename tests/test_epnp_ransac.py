@@ -453,3 +453,33 @@ def test_min_triangle_area_rejects_degenerate_samples():
     assert bool(res.valid[0])
     ang, dt = pose_errors(res.R[0], res.t[0], R, t)
     assert ang < 2.0 and dt < 15.0
+
+
+def test_project_to_model_vertices():
+  """--project_to_surface: predicted 3D points snap to the nearest model
+  vertex on device (reference corresp.py:87-88)."""
+  r = np.random.default_rng(60)
+  O, C, V = 2, 32, 50
+  verts = r.uniform(-40, 40, (O, V, 3)).astype(np.float32)
+  counts = np.array([V, 20], np.int32)
+  verts[1, 20:] = 0  # padding beyond count
+  c3d = r.uniform(-45, 45, (O, C, 3)).astype(np.float32)
+  valid = np.ones((O, C), bool)
+  valid[0, -5:] = False
+  corrs = corresp_lib.Correspondences(
+      coord_2d=jnp.zeros((O, C, 2)), coord_3d=jnp.asarray(c3d),
+      conf=jnp.ones((O, C)), conf_obj=jnp.ones((O, C)),
+      conf_frag=jnp.ones((O, C)), px_id=jnp.zeros((O, C), jnp.int32),
+      frag_id=jnp.zeros((O, C), jnp.int32), valid=jnp.asarray(valid),
+      count=jnp.asarray([C, C], jnp.int32))
+  out = jax.jit(lambda c: corresp_lib.project_to_model_vertices(
+      c, jnp.asarray(verts), jnp.asarray(counts), chunk=8))(corrs)
+  got = np.asarray(out.coord_3d)
+  for o in range(O):
+    vs = verts[o, :counts[o]]
+    for i in range(C):
+      if not valid[o, i]:
+        np.testing.assert_array_equal(got[o, i], 0)
+        continue
+      d = np.linalg.norm(vs - c3d[o, i], axis=1)
+      np.testing.assert_allclose(got[o, i], vs[np.argmin(d)], atol=1e-5)
