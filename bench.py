@@ -132,6 +132,51 @@ def bench_inference(cfg, num_objs, variables, model, images, frag_centers,
   return img_s, flops
 
 
+def bench_batched_inference(cfg, num_objs, variables, model, frag_centers,
+                            frag_sizes, K, batch=8, n_iter=3):
+  """BASELINE config #3: batched multi-image inference — one CNN forward
+  over the batch, per-image extraction+fitting unrolled in the same jit.
+  Returns img/s."""
+  num_frags = cfg.num_frags
+  crop_w, crop_h = cfg.infer_crop_size
+  oh, ow = epos_model.output_size((crop_w, crop_h), 4)
+  npx = oh * ow
+  counts = jnp.ones((num_objs,), jnp.int32)
+  r = np.random.default_rng(7)
+  batches = [jnp.asarray(r.uniform(0, 255, (batch, crop_h, crop_w, 3)),
+                         jnp.float32) for _ in range(n_iter)]
+
+  def full(v, images, key):
+    logits, _ = epos_model.multi_scale_logits(model, v, images)
+    b, h, w, _ = logits[common.PRED_OBJ_CONF].shape
+    obj = jax.nn.softmax(logits[common.PRED_OBJ_CONF], -1)
+    fc = jax.nn.softmax(logits[common.PRED_FRAG_CONF].reshape(
+        b, h, w, num_objs, num_frags), -1)
+    fl = logits[common.PRED_FRAG_LOC].reshape(
+        b, h, w, num_objs, num_frags, 3)
+    outs = []
+    for i in range(batch):
+      corrs = corresp_lib.establish_many_to_many(
+          obj[i], fc[i], fl[i], frag_centers, frag_sizes,
+          output_scale=0.25, capacity=cfg.max_corrs_per_obj)
+      outs.append(ransac.fit_all_objects(
+          corrs, K, npx, jax.random.fold_in(key, i), counts,
+          num_hypotheses=cfg.max_fitting_iterations,
+          inlier_thresh=cfg.inlier_thresh, max_instances=1,
+          min_quality=cfg.min_hypothesis_quality))
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+
+  run = jax.jit(full)
+  rng = jax.random.PRNGKey(0)
+  jax.block_until_ready(run(variables, batches[0], rng))
+  t0 = time.time()
+  out = None
+  for i in range(n_iter):
+    out = run(variables, batches[i], jax.random.fold_in(rng, i))
+  jax.block_until_ready(out)
+  return batch * n_iter / (time.time() - t0)
+
+
 def bench_train_step(cfg, num_objs, n_steps=12):
   """Returns (step_ms, flops_per_step) for the full flagship training step."""
   crop_w, crop_h = cfg.train_crop_size
@@ -211,7 +256,11 @@ def main():
   det_img_s, _ = bench_inference(
       cfg, num_objs, variables, model, images[:12], frag_centers, frag_sizes,
       K, task='detection', max_instances=4)
+  batched_img_s = bench_batched_inference(
+      cfg, num_objs, variables, model, frag_centers, frag_sizes, K, batch=8)
   step_ms, train_flops = bench_train_step(cfg, num_objs)
+  cfg_b8 = cfg.replace(train_batch_size=8)
+  step_ms_b8, train_flops_b8 = bench_train_step(cfg_b8, num_objs, n_steps=8)
 
   baseline_fps = 1.0 / 0.75  # reference ~0.75 s/image (BASELINE.md (b))
   print(json.dumps({
@@ -222,9 +271,13 @@ def main():
       'infer_flops_per_img': loc_flops,
       'infer_mfu': round(loc_img_s * loc_flops / peak, 4),
       'detection_multi_instance_img_s': round(det_img_s, 3),
+      'batched8_img_s': round(batched_img_s, 3),
       'train_step_ms': round(step_ms, 2),
       'train_flops_per_step': train_flops,
       'train_mfu': round(train_flops / (step_ms / 1000.0) / peak, 4),
+      'train_b8_step_ms': round(step_ms_b8, 2),
+      'train_b8_mfu': round(
+          train_flops_b8 / (step_ms_b8 / 1000.0) / peak, 4),
       'device_kind': getattr(jax.devices()[0], 'device_kind', 'unknown'),
       'peak_flops': peak,
   }))
