@@ -38,6 +38,7 @@ def main(args=None):
   p.add_argument('--train_images', type=int, default=512)
   p.add_argument('--test_images', type=int, default=8)
   p.add_argument('--instances_per_obj', type=int, default=2)
+  p.add_argument('--im_width', type=int, default=320)
   p.add_argument('--batch_size', type=int, default=4)
   p.add_argument('--learning_rate', type=float, default=1e-3)
   p.add_argument('--min_ar', type=float, default=None)
@@ -59,8 +60,11 @@ def main(args=None):
   # Crowded multi-instance scenes with a symmetric object in both splits.
   # z_range keeps the objects large enough in the 160x120 frame for dense
   # prediction to be learnable (~40-60px across).
+  w = ns.im_width
+  h = int(w * 3 / 4)
   kw = dict(num_objs=2, instances_per_obj=ns.instances_per_obj,
-            symmetric_first=True, crowded=True, z_range=(360, 500))
+            symmetric_first=True, crowded=True, z_range=(360, 500),
+            im_size=(w, h))
   synthetic.make_bop_dataset(bop_dir, 'synthbox', num_scenes=1,
                              ims_per_scene=ns.train_images, split='train',
                              **kw)
@@ -80,9 +84,9 @@ def main(args=None):
         # classifications then carry TRAINED offsets instead of garbage
         # (the loc loss only supervises labeled fragments, loss.py:232-303).
         'gt_knn_frags': ns.gt_knn_frags,
-        'train_crop_size': '160,120', 'infer_crop_size': '160,120',
-        'train_max_height_before_crop': 120,
-        'infer_max_height_before_crop': 120,
+        'train_crop_size': f'{w},{h}', 'infer_crop_size': f'{w},{h}',
+        'train_max_height_before_crop': h,
+        'infer_max_height_before_crop': h,
         'train_tfrecord_names': ['synthbox_train'],
         'infer_tfrecord_names': ['synthbox_test'],
         'compute_dtype': 'float32',

@@ -183,7 +183,11 @@ def make_bop_dataset(root, dataset_name='synthbox', num_scenes=1,
   from epos_tpu.data import bop as bop_lib
 
   w, h = im_size
-  K = np.array([[220.0, 0, w / 2], [0, 220.0, h / 2], [0, 0, 1.0]])
+  # Focal scales with resolution (220px at the 160-width default) so the
+  # field of view — and the objects' fraction of the frame — is the same
+  # at every im_size.
+  f = 220.0 * (w / 160.0)
+  K = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1.0]])
   ds_dir = os.path.join(root, dataset_name)
   models_dir = os.path.join(ds_dir, 'models')
   models_eval_dir = os.path.join(ds_dir, 'models_eval')
