@@ -133,7 +133,7 @@ class Config:
   # marked [compat] are accepted for CLI compatibility but have no effect.
   fitting_method: str = 'progressive_x'
   inlier_thresh: float = 4.0              # tau_r [px]
-  neighbour_max_dist: float = 20.0        # tau_d [compat]
+  neighbour_max_dist: float = 20.0        # tau_d: local-sample radius
   min_hypothesis_quality: float = 0.5     # tau_q
   required_progx_confidence: float = 0.5  # [compat]
   required_ransac_confidence: float = 1.0  # [compat]

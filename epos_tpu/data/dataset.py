@@ -393,7 +393,9 @@ class Dataset:
       gt_sig = hashlib.md5(
           np.ascontiguousarray(np.asarray(ex['gt_quats'])).tobytes() +
           np.ascontiguousarray(np.asarray(ex['gt_trans'])).tobytes() +
-          np.ascontiguousarray(np.asarray(ex['gt_obj_ids'])).tobytes()
+          np.ascontiguousarray(np.asarray(ex['gt_obj_ids'])).tobytes() +
+          np.ascontiguousarray(
+              np.asarray(ex['K'], np.float64)).tobytes()
       ).hexdigest()[:12]
       cache_path = os.path.join(
           self.cfg.gt_cache_dir,

@@ -73,7 +73,7 @@ def sym_eigh3(A):
   e_mid = 3.0 * q - e_hi - e_lo
   eigvals = jnp.stack([e_lo, e_mid, e_hi])
 
-  def eigvec_for(lam):
+  def eigvec_for(lam, fallback):
     # Null vector of (A - lam I): the largest cross product of two rows.
     r0 = jnp.stack([a00 - lam, a01, a02])
     r1 = jnp.stack([a01, a11 - lam, a12])
@@ -85,15 +85,24 @@ def sym_eigh3(A):
     norms = jnp.sum(cands * cands, axis=1)
     v = cands[jnp.argmax(norms)]
     n = jnp.sqrt(jnp.maximum(jnp.sum(v * v), 1e-30))
-    # Repeated eigenvalues make every cross product vanish; any unit
-    # vector completes a valid orthonormal frame then.
-    return jnp.where(n > 1e-12, v / n, jnp.array([1.0, 0.0, 0.0]))
+    # Repeated eigenvalues make every cross product vanish; the caller's
+    # fallback completes a valid orthonormal frame then (an isotropic /
+    # zero covariance has no preferred axes).
+    return jnp.where(n > 1e-12, v / n, fallback)
 
-  v_lo = eigvec_for(e_lo)
-  v_hi = eigvec_for(e_hi)
-  # Orthogonal middle vector; re-orthogonalize v_hi defensively.
+  v_lo = eigvec_for(e_lo, jnp.array([1.0, 0.0, 0.0]))
+  # v_hi's fallback must stay independent of whatever v_lo resolved to:
+  # pick the canonical axis LEAST aligned with v_lo.
+  axes = jnp.eye(3)
+  fallback_hi = axes[jnp.argmin(jnp.abs(axes @ v_lo))]
+  v_hi = eigvec_for(e_hi, fallback_hi)
+  # Orthogonal middle vector; re-orthogonalize v_hi defensively. If v_hi
+  # collapsed onto v_lo (degenerate spectrum), substitute the fallback.
   v_hi = v_hi - jnp.sum(v_hi * v_lo) * v_lo
-  v_hi = v_hi / jnp.maximum(jnp.linalg.norm(v_hi), 1e-12)
+  n_hi = jnp.linalg.norm(v_hi)
+  fb = fallback_hi - jnp.sum(fallback_hi * v_lo) * v_lo
+  fb = fb / jnp.maximum(jnp.linalg.norm(fb), 1e-12)
+  v_hi = jnp.where(n_hi > 1e-12, v_hi / jnp.maximum(n_hi, 1e-12), fb)
   v_mid = jnp.cross(v_hi, v_lo)
   eigvecs = jnp.stack([v_lo, v_mid, v_hi], axis=1)
   return eigvals, eigvecs

@@ -268,7 +268,12 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
     best_cov = jnp.max(out.quality * out.valid, initial=0.0)
     cov_avail = _coverage(px_id, avail, npx)
     q_best = cov_in / jnp.maximum(jnp.maximum(best_cov, cov_in), 1.0)
-    q_avail = cov_in / jnp.maximum(cov_avail, 1.0)
+    # Floor the shrinking-pool denominator at a fraction of the best
+    # instance: without it the acceptance bar collapses as rounds consume
+    # the pool and a small residual noise cluster covering most of the
+    # leftovers would pass as a phantom instance.
+    q_avail = cov_in / jnp.maximum(
+        jnp.maximum(cov_avail, 0.25 * best_cov), 1.0)
     quality = jnp.maximum(q_best, q_avail)
     accept = enough & want & (quality >= min_quality) & (n_in >= min_corrs)
     # Only accepted poses consume their inliers; a rejected round cannot

@@ -185,7 +185,8 @@ def main(args=None, time_stages=False):
       # that consume them (the reference over-requests them for pred-side
       # visualizations its tf.data pipeline bundles together).
       return_gt_orig=(cfg.task_type == common.LOCALIZATION
-                      or (cfg.vis and cfg.vis_gt_poses)),
+                      or (cfg.vis and (cfg.vis_gt_poses
+                                       or cfg.vis_gt_frag_fields))),
       return_gt_maps=(cfg.vis and (cfg.vis_gt_obj_labels
                                    or cfg.vis_gt_frag_fields)),
       output_stride=stride)

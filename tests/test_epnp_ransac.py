@@ -483,3 +483,22 @@ def test_project_to_model_vertices():
         continue
       d = np.linalg.norm(vs - c3d[o, i], axis=1)
       np.testing.assert_allclose(got[o, i], vs[np.argmin(d)], atol=1e-5)
+
+
+def test_sym_eigh3_degenerate_isotropic():
+  """Regression (round-2 review): an isotropic/zero covariance (e.g. a
+  minimal sample of identical points from consumed/padded entries) must
+  still yield an ORTHONORMAL eigenvector frame, not zero columns."""
+  for A in (2.0 * np.eye(3), np.zeros((3, 3)),
+            np.diag([3.0, 3.0, 3.0]), np.diag([2.0, 2.0, 5.0])):
+    ev, EV = epnp.sym_eigh3(jnp.asarray(A, jnp.float32))
+    EV = np.asarray(EV)
+    np.testing.assert_allclose(EV.T @ EV, np.eye(3), atol=1e-5,
+                               err_msg=str(A))
+  # And EPnP on a degenerate identical-point sample stays finite.
+  pts = jnp.zeros((6, 3), jnp.float32)
+  uv = jnp.full((6, 2), 100.0, jnp.float32)
+  R, t = epnp.solve_epnp(pts, uv, jnp.asarray(K, jnp.float32),
+                         jnp.ones(6), num_basis=4)
+  assert np.all(np.isfinite(np.asarray(R)))
+  assert np.all(np.isfinite(np.asarray(t)))
