@@ -91,7 +91,9 @@ def main(args=None):
         'infer_tfrecord_names': ['synthbox_test'],
         'compute_dtype': 'float32',
         'max_gt_instances': max_inst,
-        'train_steps': ns.steps, 'train_batch_size': ns.batch_size,
+        # train_steps is passed on the train.py command line per chunk
+        # (params.yml would win over the CLI and defeat the chunking).
+        'train_batch_size': ns.batch_size,
         'log_steps': max(10, ns.steps // 20),
         'save_interval_steps': ns.steps,
         'save_summaries_steps': max(10, ns.steps // 10),
@@ -106,7 +108,6 @@ def main(args=None):
 
   import scripts.create_example_list as cel
   import scripts.create_tfrecord as ctr
-  import scripts.train as train_script
   import scripts.infer as infer_script
   import scripts.eval_poses as eval_poses_script
 
@@ -115,7 +116,20 @@ def main(args=None):
     ctr.main(['--dataset', 'synthbox', '--split', split,
               '--output_name', f'synthbox_{split}', '--encode_ext', '.png'])
 
-  train_script.main(['--model', model_name])
+  # Train in restartable chunks: the axon PJRT client leaks every H2D
+  # transfer's host buffer (~batch size per step, CLAUDE.md hazards), so a
+  # long single-process run OOMs; checkpoints + auto-resume make process
+  # restarts free.
+  import subprocess
+  chunk = 10000
+  done = 0
+  while done < ns.steps:
+    done = min(ns.steps, done + chunk)
+    subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__),
+                                      'train.py'),
+         '--model', model_name, '--train_steps', str(done)],
+        env=dict(os.environ), check=True)
   infer_script.main(['--model', model_name])
 
   csv_path = os.path.join(model_dir, 'infer', 'estimated-poses.csv')
