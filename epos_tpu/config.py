@@ -169,6 +169,11 @@ class Config:
   compute_dtype: str = 'bfloat16'     # MXU-friendly compute precision.
   num_pipeline_workers: int = 1       # Host data workers (1-core host).
   mesh_shape: Optional[List[int]] = None  # Device mesh (None = all-data-parallel).
+  # Stop the train loop at this step WITHOUT changing the LR horizon
+  # (train_steps): enables chunked runs that restart the process to shed
+  # the axon H2D-leak (CLAUDE.md hazard 11) while the schedule stays that
+  # of one continuous run.
+  stop_at_step: Optional[int] = None
   gt_cache_dir: Optional[str] = None  # Pre-rendered GT field cache.
 
   @property

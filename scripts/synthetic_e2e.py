@@ -91,9 +91,7 @@ def main(args=None):
         'infer_tfrecord_names': ['synthbox_test'],
         'compute_dtype': 'float32',
         'max_gt_instances': max_inst,
-        # train_steps is passed on the train.py command line per chunk
-        # (params.yml would win over the CLI and defeat the chunking).
-        'train_batch_size': ns.batch_size,
+        'train_steps': ns.steps, 'train_batch_size': ns.batch_size,
         'log_steps': max(10, ns.steps // 20),
         'save_interval_steps': ns.steps,
         'save_summaries_steps': max(10, ns.steps // 10),
@@ -128,7 +126,7 @@ def main(args=None):
     subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(__file__),
                                       'train.py'),
-         '--model', model_name, '--train_steps', str(done)],
+         '--model', model_name, '--stop_at_step', str(done)],
         env=dict(os.environ), check=True)
   infer_script.main(['--model', model_name])
 

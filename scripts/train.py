@@ -132,7 +132,9 @@ def main(args=None):
   profile_start = steps_done + 10
   profile_stop = profile_start + 5
   profiling = False
-  while steps_done < cfg.train_steps:
+  end_step = cfg.train_steps if cfg.stop_at_step is None else \
+      min(cfg.train_steps, cfg.stop_at_step)
+  while steps_done < end_step:
     if cfg.profile_logdir and steps_done == profile_start and not profiling:
       jax.profiler.start_trace(cfg.profile_logdir)
       profiling = True
@@ -174,7 +176,7 @@ def main(args=None):
       vals = np.asarray(jnp.stack([metrics[k] for k in names]))
       writer.scalars(steps_done, dict(zip(names, vals.tolist())))
     if steps_done % cfg.save_interval_steps == 0 or \
-          steps_done >= cfg.train_steps:
+          steps_done >= end_step:
       # Orbax checkpointing is COLLECTIVE under jax.distributed: every
       # process must call save (it synchronizes internally and writes the
       # replicated arrays from the primary host only) — a chief-only call
