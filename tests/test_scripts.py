@@ -122,6 +122,26 @@ def test_05_train_resumes(workspace):
   assert checkpoints.latest_step(ckpt_dir) == 16
 
 
+def test_05b_chunked_training_stop_at_step(workspace):
+  """--stop_at_step ends the loop early with the LR horizon intact
+  (train_steps), enabling restartable chunked runs (axon H2D-leak
+  mitigation); resuming without it finishes the schedule."""
+  import yaml as yaml_lib
+  from epos_tpu.train import checkpoints
+  params_path = os.path.join(workspace['model_dir'], 'params.yml')
+  with open(params_path) as f:
+    params = yaml_lib.safe_load(f)
+  params['train_steps'] = 24
+  params['save_interval_steps'] = 4
+  with open(params_path, 'w') as f:
+    yaml_lib.safe_dump(params, f)
+  ckpt_dir = os.path.join(workspace['model_dir'], 'checkpoints')
+  train_script.main(['--model', workspace['model'], '--stop_at_step', '20'])
+  assert checkpoints.latest_step(ckpt_dir) == 20
+  train_script.main(['--model', workspace['model']])
+  assert checkpoints.latest_step(ckpt_dir) == 24
+
+
 def test_06_eval(workspace):
   res = eval_script.main(['--model', workspace['model']])
   assert res is not None
