@@ -154,7 +154,7 @@ def bop19_average_recall(matches_mssd, matches_mspd, diameters):
 
 
 def evaluate_localization(results, gt_per_image, models_pts, diameters,
-                          Ks, syms=None):
+                          Ks, syms=None, im_widths=None):
   """Greedy matching of estimates to GT per image (LOCALIZATION protocol):
   per (scene, im, obj), each GT instance consumes the highest-score unmatched
   estimate. Returns bop19_average_recall output + per-metric details.
@@ -165,6 +165,9 @@ def evaluate_localization(results, gt_per_image, models_pts, diameters,
     models_pts: {obj_id: [n, 3] points}.
     diameters: {obj_id: mm}.
     Ks: {(scene_id, im_id): K}.
+    im_widths: optional {(scene_id, im_id): width_px} — MSPD errors are
+      normalized by 640/width (BOP19: the threshold grid is defined at VGA
+      scale; bop_toolkit pose_error.mspd multiplies by r = 640/w).
   """
   syms = syms or {}
   by_key = {}
@@ -173,7 +176,7 @@ def evaluate_localization(results, gt_per_image, models_pts, diameters,
   for v in by_key.values():
     v.sort(key=lambda r: -r.get('score', 0.0))
 
-  m_mssd, m_mspd = [], []
+  m_mssd, m_mspd, m_adi = [], [], []
   for (scene_id, im_id), gts in gt_per_image.items():
     used = set()
     for gt in gts:
@@ -187,6 +190,7 @@ def evaluate_localization(results, gt_per_image, models_pts, diameters,
       if best is None:
         m_mssd.append((obj, np.inf))
         m_mspd.append((obj, np.inf))
+        m_adi.append((obj, np.inf))
         continue
       used.add(best[0])
       e = best[1]
@@ -194,9 +198,19 @@ def evaluate_localization(results, gt_per_image, models_pts, diameters,
       K = Ks[(scene_id, im_id)]
       m_mssd.append((obj, mssd_error(
           pts, e['R'], e['t'], gt['R'], gt['t'], syms.get(obj))))
-      m_mspd.append((obj, mspd_error(
+      r_norm = 1.0
+      if im_widths is not None:
+        r_norm = 640.0 / im_widths[(scene_id, im_id)]
+      m_mspd.append((obj, r_norm * mspd_error(
           pts, K, e['R'], e['t'], gt['R'], gt['t'], syms.get(obj))))
+      m_adi.append((obj, adi_error(
+          pts, e['R'], e['t'], gt['R'], gt['t'])))
   out = bop19_average_recall(m_mssd, m_mspd, diameters)
   out['matches_mssd'] = m_mssd
   out['matches_mspd'] = m_mspd
+  # Classic Hinterstoisser ADI recall at 10% of the diameter — coarser
+  # than the BOP grids, useful as a wider-dynamic-range tracking signal.
+  ok = [err < 0.1 * diameters[obj] for obj, err in m_adi]
+  out['adi01_recall'] = float(np.mean(ok)) if ok else 0.0
+  out['matches_adi'] = m_adi
   return out

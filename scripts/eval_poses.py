@@ -72,7 +72,7 @@ def main(args=None):
 
   # GT per image (only images present in the results).
   keys = sorted({(r['scene_id'], r['im_id']) for r in results})
-  gt_per_image, Ks = {}, {}
+  gt_per_image, Ks, im_widths = {}, {}, {}
   for scene_id in sorted({k[0] for k in keys}):
     gts = bop.load_scene_gt(sp['scene_gt_tpath'].format(scene_id=scene_id))
     cams = bop.load_scene_camera(
@@ -85,13 +85,17 @@ def main(args=None):
            't': g['cam_t_m2c'].flatten()} for g in gts[im_id]
           if g['obj_id'] in models_pts]
       Ks[(s_id, im_id)] = cams[im_id]['cam_K']
+      # Image width for BOP19's MSPD scale normalization (r = 640/w):
+      # principal point ~ w/2 in the BOP datasets and the synthetic sets.
+      im_widths[(s_id, im_id)] = 2.0 * cams[im_id]['cam_K'][0, 2]
 
   out = pose_eval.evaluate_localization(
-      results, gt_per_image, models_pts, diameters, Ks, syms)
+      results, gt_per_image, models_pts, diameters, Ks, syms,
+      im_widths=im_widths)
   log.info('Images: %d, GT instances: %d, estimates: %d',
            len(gt_per_image), len(out['matches_mssd']), len(results))
-  log.info('AR_MSSD=%.4f AR_MSPD=%.4f AR=%.4f',
-           out['ar_mssd'], out['ar_mspd'], out['ar'])
+  log.info('AR_MSSD=%.4f AR_MSPD=%.4f AR=%.4f ADI@0.1d=%.4f',
+           out['ar_mssd'], out['ar_mspd'], out['ar'], out['adi01_recall'])
   if ns.output_path:
     with open(ns.output_path, 'w') as f:
       json.dump({'ar_mssd': out['ar_mssd'], 'ar_mspd': out['ar_mspd'],

@@ -38,7 +38,7 @@ def main(args=None):
   p.add_argument('--train_images', type=int, default=512)
   p.add_argument('--test_images', type=int, default=8)
   p.add_argument('--instances_per_obj', type=int, default=2)
-  p.add_argument('--im_width', type=int, default=320)
+  p.add_argument('--im_width', type=int, default=160)
   p.add_argument('--batch_size', type=int, default=4)
   p.add_argument('--learning_rate', type=float, default=1e-3)
   p.add_argument('--min_ar', type=float, default=None)
@@ -139,6 +139,7 @@ def main(args=None):
       'ar': round(out['ar'], 4),
       'ar_mssd': round(out['ar_mssd'], 4),
       'ar_mspd': round(out['ar_mspd'], 4),
+      'adi01': round(out['adi01_recall'], 4),
       'n_estimates': n_est,
       'n_gt': len(out['matches_mssd']),
       'steps': ns.steps,
