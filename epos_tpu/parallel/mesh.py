@@ -48,6 +48,39 @@ def replicated(mesh):
   return NamedSharding(mesh, P())
 
 
+def state_shardings(mesh, state):
+  """Parameter shardings for a TrainState: EPOS head kernels/biases are
+  sharded over the 'model' axis, everything else replicated.
+
+  The fragment heads are the memory-critical tensors (num_objs * num_frags
+  * 4 output channels per pixel — SURVEY §5: up to ~30k channels for
+  T-LESS f256); splitting their output-channel axis over the model axis is
+  the natural tensor parallelism for this architecture. XLA propagates the
+  sharding through the head matmul (channel-sharded activations) and
+  inserts the gathers the losses need.
+  """
+  import jax as _jax
+
+  def shard_param(path, x):
+    keys = [str(getattr(p, 'key', p)) for p in path]
+    in_head = any(k.startswith('logits/') for k in keys)
+    if in_head and x.ndim >= 1 and x.shape[-1] % mesh.shape[MODEL_AXIS] == 0:
+      spec = [None] * (x.ndim - 1) + [MODEL_AXIS]
+      return NamedSharding(mesh, P(*spec))
+    return NamedSharding(mesh, P())
+
+  repl = NamedSharding(mesh, P())
+  params_sh = _jax.tree_util.tree_map_with_path(shard_param, state.params)
+  # Optimizer buffers (momentum etc.) mirror the param tree inside the
+  # optax state, so the same path rule applies — the param names appear in
+  # the optax leaf paths and shapes match.
+  opt_sh = _jax.tree_util.tree_map_with_path(shard_param, state.opt_state)
+  return state.replace(
+      step=repl, params=params_sh,
+      batch_stats=_jax.tree_util.tree_map(lambda x: repl, state.batch_stats),
+      opt_state=opt_sh)
+
+
 def shard_batch(batch, mesh):
   """Places a host batch dict on the mesh, sharded on the leading dim.
 

@@ -182,11 +182,15 @@ def train_step(state, batch, dropout_rng, cfg, num_objs):
   return new_state, metrics
 
 
-def make_jitted_train_step(cfg, num_objs, mesh: Optional[Any] = None):
-  """Jits train_step with mesh shardings (state replicated, batch on 'data').
+def make_jitted_train_step(cfg, num_objs, mesh: Optional[Any] = None,
+                           state_template: Optional[Any] = None):
+  """Jits train_step with mesh shardings (batch on 'data').
 
-  Under jit, XLA sees batch inputs sharded over the data axis and replicated
-  parameters, and emits the psum for gradients automatically.
+  Parameters are replicated by default; with a model axis of size > 1 in
+  the mesh AND a state_template, the wide EPOS head kernels (and their
+  optimizer buffers) are output-channel-sharded over 'model' — tensor
+  parallelism for the f256-class heads (SURVEY §5). XLA emits the gradient
+  psum over 'data' and the gathers the sharded heads need automatically.
   """
   def step_fn(state, batch, rng):
     return train_step(state, batch, rng, cfg, num_objs)
@@ -195,6 +199,12 @@ def make_jitted_train_step(cfg, num_objs, mesh: Optional[Any] = None):
     return jax.jit(step_fn, donate_argnums=(0,))
   repl = mesh_lib.replicated(mesh)
   data = mesh_lib.batch_sharding(mesh)
+  if mesh.shape[mesh_lib.MODEL_AXIS] > 1 and state_template is not None:
+    state_sh = mesh_lib.state_shardings(mesh, state_template)
+    return jax.jit(
+        step_fn, donate_argnums=(0,),
+        in_shardings=(state_sh, data, repl),
+        out_shardings=(state_sh, repl))
   return jax.jit(
       step_fn, donate_argnums=(0,),
       in_shardings=(repl, data, repl),

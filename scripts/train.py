@@ -113,7 +113,8 @@ def main(args=None):
         logits_only=cfg.last_layers_contain_logits_only)
     log.info('Warm-started from %s', init_dir)
 
-  step_fn = trainer.make_jitted_train_step(cfg, num_objs, mesh)
+  step_fn = trainer.make_jitted_train_step(cfg, num_objs, mesh,
+                                           state_template=state)
   aug_fn = jax.jit(lambda r, im: augment.augment_batch(
       r, im, cfg.data_augmentations))
 

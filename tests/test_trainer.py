@@ -167,3 +167,39 @@ def test_train_step_upsample_logits():
   state, metrics = step(state, batch, rng)
   assert np.isfinite(float(metrics['total_loss']))
   assert int(state.step) == 1
+
+
+def test_train_step_tensor_parallel_heads():
+  """[data=4, model=2] mesh: the EPOS head kernels are output-channel
+  sharded over 'model' (SURVEY §2.5 TP row / §5 f256 memory axis) and the
+  step produces the same loss as the replicated-parameter path."""
+  cfg = micro_cfg()
+  rng = jax.random.PRNGKey(0)
+  oh = ow = 8
+  batch = make_batch(8, oh, ow)  # divisible by data=8 and data=4
+
+  state = trainer.create_train_state(
+      cfg, NUM_OBJS, rng, jnp.zeros((1, H, W, 3)))
+  mesh_dp = mesh_lib.create_mesh([8, 1])
+  step_dp = trainer.make_jitted_train_step(cfg, NUM_OBJS, mesh_dp)
+  _, m_dp = step_dp(state, mesh_lib.shard_batch(batch, mesh_dp), rng)
+  loss_dp = float(m_dp['total_loss'])
+
+  state2 = trainer.create_train_state(
+      cfg, NUM_OBJS, rng, jnp.zeros((1, H, W, 3)))
+  mesh_tp = mesh_lib.create_mesh([4, 2])
+  step_tp = trainer.make_jitted_train_step(cfg, NUM_OBJS, mesh_tp,
+                                           state_template=state2)
+  batch_tp = mesh_lib.shard_batch(batch, mesh_tp)
+  state2, m_tp = step_tp(state2, batch_tp, rng)
+  loss_tp = float(m_tp['total_loss'])
+  assert np.isfinite(loss_tp)
+  np.testing.assert_allclose(loss_tp, loss_dp, rtol=2e-4)
+  # The head kernel really is sharded over the model axis.
+  from jax.sharding import NamedSharding
+  head = state2.params['logits/pred_frag_conf']['kernel']
+  assert isinstance(head.sharding, NamedSharding)
+  assert head.sharding.spec[-1] == mesh_lib.MODEL_AXIS
+  # A second step runs on the sharded state (donation + resharding OK).
+  state2, m2 = step_tp(state2, batch_tp, rng)
+  assert np.isfinite(float(m2['total_loss']))
