@@ -10,9 +10,10 @@ SURVEY.md §2.3). Redesigned for XLA:
 - Minimal 6-point samples (min_point_number=6, infer.py:482): half drawn
   uniformly over available correspondences (rank-LUT sampling), half
   spatially local via a Morton-order window around a random seed (the
-  GC-RANSAC neighborhood-graph role, tau_d); PROSAC-weighted Gumbel top-k
-  when use_prosac (infer.py:98-100). Degenerate samples are gated by
-  tau_t (min_triangle_area).
+  GC-RANSAC neighborhood-graph role, tau_d); with use_prosac, true PROSAC
+  progressive sampling from a growing confidence-sorted head
+  (infer.py:98-100). Degenerate samples are gated by tau_t
+  (min_triangle_area).
 - Multi-instance estimation follows the Progressive-X philosophy: fit the
   best instance, consume its inliers, repeat (a lax.while_loop with a fixed
   instance capacity and an early exit once a round fails) — replacing
@@ -59,12 +60,32 @@ class FitResult(NamedTuple):
   valid: jnp.ndarray    # [max_inst] bool
 
 
-def _sample_minimal(rng, avail_logits, num_hyps, sample_size):
-  """[num_hyps, sample_size] distinct indices via Gumbel top-k (PROSAC
-  path: confidence-weighted sampling, infer.py:98-100)."""
-  g = jax.random.gumbel(rng, (num_hyps,) + avail_logits.shape)
-  _, idx = jax.lax.top_k(avail_logits[None, :] + g, sample_size)
-  return idx
+def _sample_minimal_prosac(rng, avail_f, conf, num_hyps, sample_size):
+  """PROSAC sampling: hypothesis h draws uniformly from the top-m(h)
+  correspondences by CONFIDENCE, with m growing from a small head to the
+  full set across the hypothesis batch (Chum & Matas; --use_prosac,
+  reference infer.py:98-100 sorts by confidence before fitting).
+
+  The extraction emits confidence-sorted buffers, so rank r in conf order
+  == buffer position of the r-th most confident AVAILABLE entry; the
+  rank->index LUT restricts to available entries.
+  """
+  C = avail_f.shape[0]
+  avail_i = avail_f > 0
+  ranks = jnp.cumsum(avail_i) - 1
+  n_avail = jnp.maximum(ranks[-1] + 1, 1)
+  lut = jnp.zeros((C + 1,), jnp.int32).at[
+      jnp.where(avail_i, ranks, C)].set(jnp.arange(C, dtype=jnp.int32))
+  # Pool size per hypothesis: linear growth from 3x the sample size to the
+  # full available set.
+  h = jnp.arange(num_hyps, dtype=jnp.float32) / max(num_hyps - 1, 1)
+  m = jnp.minimum(
+      n_avail,
+      (3 * sample_size + h * (C - 3 * sample_size)).astype(jnp.int32))
+  m = jnp.maximum(m, jnp.minimum(n_avail, sample_size))
+  u = jax.random.uniform(rng, (num_hyps, sample_size))
+  draw = (u * m[:, None].astype(jnp.float32)).astype(jnp.int32)
+  return lut[jnp.minimum(draw, C - 1)]
 
 
 def _morton_key(xy, scale=1.0):
@@ -169,8 +190,8 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
     """One RANSAC round on the available correspondences."""
     avail_f = avail.astype(jnp.float32)
     if use_prosac:
-      logits = jnp.where(avail, jnp.log(conf + 1e-9), -1e9)
-      idx = _sample_minimal(key, logits, num_hypotheses, min_corrs)
+      idx = _sample_minimal_prosac(key, avail_f, conf, num_hypotheses,
+                                   min_corrs)
     else:
       # Half global uniform samples (single wide-baseline instances),
       # half spatially-local samples (multi-instance separation).

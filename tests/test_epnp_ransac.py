@@ -502,3 +502,26 @@ def test_sym_eigh3_degenerate_isotropic():
                          jnp.ones(6), num_basis=4)
   assert np.all(np.isfinite(np.asarray(R)))
   assert np.all(np.isfinite(np.asarray(t)))
+
+
+def test_prosac_sampling_recovers_pose():
+  """--use_prosac: progressive confidence-sorted sampling finds the pose
+  when inliers carry high confidence (conf-sorted input, as extraction
+  emits)."""
+  pts, uv, R, t = make_corrs(80, seed=70, noise=0.2)
+  r = np.random.default_rng(71)
+  n_out = 120
+  pts_all = np.concatenate([pts, r.uniform(-60, 60, (n_out, 3))])
+  uv_all = np.concatenate([uv, r.uniform(0, 640, (n_out, 2))])
+  conf = np.concatenate([np.linspace(0.95, 0.8, 80),
+                         np.linspace(0.4, 0.1, n_out)])  # sorted desc
+  n = 200
+  res = ransac.fit_instances(
+      jnp.asarray(uv_all, jnp.float32), jnp.asarray(pts_all, jnp.float32),
+      jnp.asarray(conf, jnp.float32), jnp.arange(n, dtype=jnp.int32),
+      jnp.ones(n, bool), jnp.asarray(K, jnp.float32), npx=256,
+      rng=jax.random.PRNGKey(8), num_hypotheses=128, inlier_thresh=4.0,
+      max_instances=1, num_instances=1, min_quality=0.3, use_prosac=True)
+  assert bool(res.valid[0])
+  ang, dt = pose_errors(res.R[0], res.t[0], R, t)
+  assert ang < 2.0 and dt < 15.0, (ang, dt)
