@@ -64,7 +64,8 @@ def _flops(compiled):
 
 
 def bench_inference(cfg, num_objs, variables, model, images, frag_centers,
-                    frag_sizes, K, task='localization', max_instances=1):
+                    frag_sizes, K, task='localization', max_instances=1,
+                    use_pallas=False):
   """Returns (img_s, flops_per_img) for the fused 3-stage inference path."""
   num_frags = cfg.num_frags
   oh, ow = epos_model.output_size(tuple(cfg.infer_crop_size), 4)
@@ -83,9 +84,12 @@ def bench_inference(cfg, num_objs, variables, model, images, frag_centers,
   def _predict(v, im):
     logits, _ = epos_model.multi_scale_logits(model, v, im)
     b, h, w, _ = logits[common.PRED_OBJ_CONF].shape
+    frag_conf_or_logits = logits[common.PRED_FRAG_CONF].reshape(
+        b, h, w, num_objs, num_frags)
+    if not use_pallas:
+      frag_conf_or_logits = jax.nn.softmax(frag_conf_or_logits, -1)
     return (jax.nn.softmax(logits[common.PRED_OBJ_CONF], -1),
-            jax.nn.softmax(logits[common.PRED_FRAG_CONF].reshape(
-                b, h, w, num_objs, num_frags), -1),
+            frag_conf_or_logits,
             logits[common.PRED_FRAG_LOC].reshape(
                 b, h, w, num_objs, num_frags, 3))
   predict = jax.jit(_predict)
@@ -93,9 +97,12 @@ def bench_inference(cfg, num_objs, variables, model, images, frag_centers,
   @jax.jit
   def extract(preds):
     obj_conf, frag_conf, frag_loc = preds
-    # XLA two-stage selection (the Pallas kernel wins only at f>=128,
-    # see InferenceEngine policy).
-    return corresp_lib.establish_many_to_many(
+    # XLA two-stage selection below f128; the Pallas best-score kernel
+    # above (InferenceEngine policy — it avoids the [h,w,O,F] softmax
+    # tensor, 412MB at f256).
+    fn = (corresp_lib.establish_many_to_many_fused if use_pallas
+          else corresp_lib.establish_many_to_many)
+    return fn(
         obj_conf[0], frag_conf[0], frag_loc[0], frag_centers, frag_sizes,
         output_scale=0.25, capacity=cfg.max_corrs_per_obj)
 
@@ -135,8 +142,9 @@ def bench_inference(cfg, num_objs, variables, model, images, frag_centers,
 def bench_batched_inference(cfg, num_objs, variables, model, frag_centers,
                             frag_sizes, K, batch=8, n_iter=3):
   """BASELINE config #3: batched multi-image inference — one CNN forward
-  over the batch, per-image extraction+fitting unrolled in the same jit.
-  Returns img/s."""
+  over the batch, extraction+fitting VMAPPED over the batch (mirrors
+  InferenceEngine.full_batch; the round-2 Python unroll added stage
+  latencies instead of overlapping them). Returns img/s."""
   num_frags = cfg.num_frags
   crop_w, crop_h = cfg.infer_crop_size
   oh, ow = epos_model.output_size((crop_w, crop_h), 4)
@@ -154,17 +162,18 @@ def bench_batched_inference(cfg, num_objs, variables, model, frag_centers,
         b, h, w, num_objs, num_frags), -1)
     fl = logits[common.PRED_FRAG_LOC].reshape(
         b, h, w, num_objs, num_frags, 3)
-    outs = []
-    for i in range(batch):
+
+    def per_image(obj_i, fc_i, fl_i, key_i):
       corrs = corresp_lib.establish_many_to_many(
-          obj[i], fc[i], fl[i], frag_centers, frag_sizes,
+          obj_i, fc_i, fl_i, frag_centers, frag_sizes,
           output_scale=0.25, capacity=cfg.max_corrs_per_obj)
-      outs.append(ransac.fit_all_objects(
-          corrs, K, npx, jax.random.fold_in(key, i), counts,
+      return ransac.fit_all_objects(
+          corrs, K, npx, key_i, counts,
           num_hypotheses=cfg.max_fitting_iterations,
           inlier_thresh=cfg.inlier_thresh, max_instances=1,
-          min_quality=cfg.min_hypothesis_quality))
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+          min_quality=cfg.min_hypothesis_quality)
+
+    return jax.vmap(per_image)(obj, fc, fl, jax.random.split(key, b))
 
   run = jax.jit(full)
   rng = jax.random.PRNGKey(0)
@@ -258,6 +267,20 @@ def main():
       K, task='detection', max_instances=4)
   batched_img_s = bench_batched_inference(
       cfg, num_objs, variables, model, frag_centers, frag_sizes, K, batch=8)
+
+  # Stretch config (README table): f256 heads, 30 objects (T-LESS-scale) —
+  # the Pallas fused-extraction regime (BASELINE.md config #5 stretch).
+  n256, f256 = 30, 256
+  cfg256 = cfg.replace(num_frags=f256)
+  model256 = epos_model.build_model(cfg256, n256)
+  variables256 = jax.jit(lambda k, im: model256.init(k, im, train=False))(
+      rng, images[0])
+  jax.block_until_ready(variables256)
+  fc256 = jnp.asarray(r.uniform(-50, 50, (n256, f256, 3)), jnp.float32)
+  fs256 = jnp.asarray(r.uniform(10, 40, (n256, f256)), jnp.float32)
+  f256_img_s, f256_flops = bench_inference(
+      cfg256, n256, variables256, model256, images[:12], fc256, fs256, K,
+      task='localization', max_instances=1, use_pallas=True)
   step_ms, train_flops = bench_train_step(cfg, num_objs)
   cfg_b8 = cfg.replace(train_batch_size=8)
   step_ms_b8, train_flops_b8 = bench_train_step(cfg_b8, num_objs, n_steps=8)
@@ -272,6 +295,9 @@ def main():
       'infer_mfu': round(loc_img_s * loc_flops / peak, 4),
       'detection_multi_instance_img_s': round(det_img_s, 3),
       'batched8_img_s': round(batched_img_s, 3),
+      'f256_30obj_img_s': round(f256_img_s, 3),
+      'f256_30obj_ms_per_img': round(1000.0 / f256_img_s, 1),
+      'f256_infer_mfu': round(f256_img_s * f256_flops / peak, 4),
       'train_step_ms': round(step_ms, 2),
       'train_flops_per_step': train_flops,
       'train_mfu': round(train_flops / (step_ms / 1000.0) / peak, 4),

@@ -127,6 +127,9 @@ class Config:
   save_estimates: bool = True
   save_corresp: bool = False
   infer_name: Optional[str] = None
+  # --cpu_only (reference infer.py:40-41 hides the GPU): force the CPU
+  # backend for inference.
+  cpu_only: bool = False
   # Pose fitting (reference: scripts/infer.py:72-120). The on-device
   # fitter redesigns Progressive-X (batched hypotheses + greedy
   # multi-instance; ops/ransac.py), so the GC-RANSAC-specific knobs below
@@ -146,6 +149,12 @@ class Config:
   max_correspondences: Optional[int] = None
   max_instances_to_fit: Optional[int] = None
   max_fitting_iterations: int = 400
+  # Absolute acceptance floor (the role of pyprogressivex's absolute
+  # min_coverage, reference infer.py:482): minimum summed inlier confidence
+  # an instance must reach. Guards DETECTION mode against phantom poses from
+  # a handful of spurious tau_a pixels, which the instance-relative tau_q
+  # criterion alone would accept (the first instance compares to itself).
+  min_inlier_mass: float = 8.0
   # Visualization.
   vis: bool = False
   vis_gt_poses: bool = True

@@ -308,8 +308,22 @@ def get_split_params(datasets_path, dataset_name, split, split_type=None):
           base, '{scene_id:06d}', 'rgb', '{im_id:06d}' + rgb_ext),
       'mask_visib_tpath': os.path.join(
           base, '{scene_id:06d}', 'mask_visib', '{im_id:06d}_{gt_id:06d}.png'),
+      'depth_tpath': os.path.join(
+          base, '{scene_id:06d}', 'depth', '{im_id:06d}.png'),
       'im_size': _DATASET_IM_SIZE.get(dataset_name, (640, 480)),
   }
+
+
+def load_depth(path, depth_scale=1.0):
+  """BOP depth image (uint16 PNG) -> float32 mm (bop_toolkit inout.load_depth
+  semantics: raw * depth_scale). Returns None if the file is absent."""
+  if not os.path.exists(path):
+    return None
+  import cv2
+  raw = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+  if raw is None:
+    return None
+  return raw.astype(np.float32) * float(depth_scale)
 
 
 def get_present_scene_ids(dp_split):

@@ -74,7 +74,8 @@ class InferenceEngine:
         min_quality=cfg.min_hypothesis_quality,
         use_prosac=cfg.use_prosac,
         min_triangle_area=cfg.min_triangle_area,
-        neighbour_px=cfg.neighbour_max_dist)
+        neighbour_px=cfg.neighbour_max_dist,
+        min_inlier_mass=cfg.min_inlier_mass)
 
     def predict_fn(variables, images):
       # Weights as arguments: closure capture embeds them as program
@@ -109,28 +110,35 @@ class InferenceEngine:
           common.PRED_FRAG_LOC: frag_loc,
       }
 
-    def corresp_fn(preds, obj_enable):
+    def corresp_single(pred1, obj_enable):
+      """Correspondence extraction on UNBATCHED prediction arrays — the
+      unit that both the single-image path and the vmapped batch path
+      share."""
       if self.use_pallas:
         corrs = corresp_lib.establish_many_to_many_fused(
-            preds[common.PRED_OBJ_CONF][0], preds['frag_logits'][0],
-            preds[common.PRED_FRAG_LOC][0], self.frag_centers,
+            pred1[common.PRED_OBJ_CONF], pred1['frag_logits'],
+            pred1[common.PRED_FRAG_LOC], self.frag_centers,
             self.frag_sizes, self.output_scale,
             obj_mask_enable=obj_enable, **cfg_f)
       else:
-        fc = preds[common.PRED_FRAG_CONF][0]
-        fl = preds[common.PRED_FRAG_LOC][0]
+        fc = pred1[common.PRED_FRAG_CONF]
+        fl = pred1[common.PRED_FRAG_LOC]
         h, w = fc.shape[:2]
         # Agnostic heads -> broadcast the single class over objects.
         fc = jnp.broadcast_to(fc, (h, w, num_objs, cfg.num_frags))
         fl = jnp.broadcast_to(fl, (h, w, num_objs, cfg.num_frags, 3))
         corrs = corresp_lib.establish_many_to_many(
-            preds[common.PRED_OBJ_CONF][0], fc, fl, self.frag_centers,
+            pred1[common.PRED_OBJ_CONF], fc, fl, self.frag_centers,
             self.frag_sizes, self.output_scale,
             obj_mask_enable=obj_enable, **cfg_f)
       if self._proj_verts is not None:
         corrs = corresp_lib.project_to_model_vertices(
             corrs, self._proj_verts, self._proj_counts)
       return corrs
+
+    def corresp_fn(preds, obj_enable):
+      return corresp_single(
+          jax.tree_util.tree_map(lambda x: x[0], preds), obj_enable)
 
     def fit_fn(corrs, K, instance_counts, rng):
       return ransac.fit_all_objects(
@@ -149,18 +157,19 @@ class InferenceEngine:
 
     def full_batch(variables, images, Ks, obj_enables, instance_counts,
                    rngs):
-      """Batched variant: one CNN forward over the whole batch, then the
-      per-image extraction/fitting unrolled inside the same jit (BASELINE
-      config #3: batched multi-image inference)."""
-      batch = images.shape[0]
+      """Batched variant: one CNN forward over the whole batch, then
+      extraction + fitting VMAPPED over the batch axis (BASELINE config
+      #3: batched multi-image inference). vmap lets XLA overlap the
+      per-image stages instead of adding their latencies — the round-2
+      Python unroll ran batched-8 at only 1.12x the single-image rate."""
       preds = predict_fn(variables, images)
-      fits_all = []
-      for b in range(batch):
-        preds_b = jax.tree_util.tree_map(lambda x: x[b:b + 1], preds)
-        corrs = corresp_fn(preds_b, obj_enables[b])
-        fits_all.append(fit_fn(corrs, Ks[b], instance_counts[b], rngs[b]))
-      return jax.tree_util.tree_map(
-          lambda *xs: jnp.stack(xs), *fits_all)
+
+      def per_image(pred1, K, enable, counts, rng):
+        corrs = corresp_single(pred1, enable)
+        return fit_fn(corrs, K, counts, rng)
+
+      return jax.vmap(per_image)(preds, Ks, obj_enables, instance_counts,
+                                 rngs)
 
     self._jit_full_batch = jax.jit(full_batch, static_argnames=())
 

@@ -100,8 +100,14 @@ def establish_many_to_many(obj_confs, frag_confs, frag_coords, frag_centers,
     rok = (rows > rmax * min_frag_rel_conf) & (best_conf > 0.0)[:, None]
     rscore = jnp.where(rok, obj_conf[pix_sel][:, None] * rows, 0.0)
 
-    # Stage 2: global top-K over the selected pixels' survivors.
-    top_conf, flat_idx = jax.lax.top_k(rscore.reshape(-1), capacity)
+    # Stage 2: global top-K over the selected pixels' survivors. At tiny
+    # resolutions the candidate pool can be smaller than the capacity —
+    # clamp k and zero-pad back to the fixed output shape.
+    k2 = min(capacity, n_pix * num_frags)
+    top_conf, flat_idx = jax.lax.top_k(rscore.reshape(-1), k2)
+    if k2 < capacity:
+      top_conf = jnp.pad(top_conf, (0, capacity - k2))
+      flat_idx = jnp.pad(flat_idx, (0, capacity - k2))
     valid = top_conf > 0.0
     sel = (flat_idx // num_frags).astype(jnp.int32)
     frag = (flat_idx % num_frags).astype(jnp.int32)
@@ -206,7 +212,11 @@ def establish_many_to_many_fused(obj_confs, frag_logits, frag_coords,
     cobj_sel = obj_flat[pix_sel, o + 1]
     rscore = jnp.where(rok, cobj_sel[:, None] * rows, 0.0)
 
-    top_conf, flat_idx = jax.lax.top_k(rscore.reshape(-1), capacity)
+    k2 = min(capacity, n_pix * num_frags)
+    top_conf, flat_idx = jax.lax.top_k(rscore.reshape(-1), k2)
+    if k2 < capacity:
+      top_conf = jnp.pad(top_conf, (0, capacity - k2))
+      flat_idx = jnp.pad(flat_idx, (0, capacity - k2))
     valid = top_conf > 0.0
     sel = (flat_idx // num_frags).astype(jnp.int32)
     frag = (flat_idx % num_frags).astype(jnp.int32)

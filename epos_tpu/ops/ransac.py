@@ -66,16 +66,16 @@ def _sample_minimal_prosac(rng, avail_f, conf, num_hyps, sample_size):
   full set across the hypothesis batch (Chum & Matas; --use_prosac,
   reference infer.py:98-100 sorts by confidence before fitting).
 
-  The extraction emits confidence-sorted buffers, so rank r in conf order
-  == buffer position of the r-th most confident AVAILABLE entry; the
-  rank->index LUT restricts to available entries.
+  Ranks come from an explicit argsort of `conf` over the available entries
+  — correct for ANY buffer ordering (the extraction currently emits
+  confidence-sorted buffers, but PROSAC must not silently depend on that).
   """
   C = avail_f.shape[0]
   avail_i = avail_f > 0
-  ranks = jnp.cumsum(avail_i) - 1
-  n_avail = jnp.maximum(ranks[-1] + 1, 1)
-  lut = jnp.zeros((C + 1,), jnp.int32).at[
-      jnp.where(avail_i, ranks, C)].set(jnp.arange(C, dtype=jnp.int32))
+  n_avail = jnp.maximum(jnp.sum(avail_i), 1)
+  # order[r] = index of the r-th most confident AVAILABLE correspondence
+  # (unavailable entries sort to the tail).
+  order = jnp.argsort(jnp.where(avail_i, -conf, jnp.inf)).astype(jnp.int32)
   # Pool size per hypothesis: linear growth from 3x the sample size to the
   # full available set.
   h = jnp.arange(num_hyps, dtype=jnp.float32) / max(num_hyps - 1, 1)
@@ -85,7 +85,7 @@ def _sample_minimal_prosac(rng, avail_f, conf, num_hyps, sample_size):
   m = jnp.maximum(m, jnp.minimum(n_avail, sample_size))
   u = jax.random.uniform(rng, (num_hyps, sample_size))
   draw = (u * m[:, None].astype(jnp.float32)).astype(jnp.int32)
-  return lut[jnp.minimum(draw, C - 1)]
+  return order[jnp.minimum(draw, C - 1)]
 
 
 def _morton_key(xy, scale=1.0):
@@ -171,7 +171,8 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
                   rng, num_hypotheses=400, inlier_thresh=4.0,
                   max_instances=1, num_instances=1,
                   min_quality=0.5, use_prosac=False, refine_iters=3,
-                  min_corrs=6, min_triangle_area=0.0, neighbour_px=20.0):
+                  min_corrs=6, min_triangle_area=0.0, neighbour_px=20.0,
+                  min_inlier_mass=8.0):
   """Fits up to `num_instances` poses of one object.
 
   Args:
@@ -296,7 +297,17 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
     q_avail = cov_in / jnp.maximum(
         jnp.maximum(cov_avail, 0.25 * best_cov), 1.0)
     quality = jnp.maximum(q_best, q_avail)
-    accept = enough & want & (quality >= min_quality) & (n_in >= min_corrs)
+    # Absolute acceptance floor (pyprogressivex min_coverage's role,
+    # reference infer.py:84-86,482): the instance-relative criteria above
+    # auto-pass the FIRST instance (q_best compares it to itself), so
+    # without an absolute bar any enabled object with >= min_corrs inliers
+    # emits a pose — in DETECTION mode a few spurious tau_a pixels of an
+    # absent object would become a false positive. A real instance carries
+    # inlier confidence mass of tens-to-hundreds; spurious clusters sit
+    # near min_corrs entries at near-threshold confidence.
+    abs_ok = score >= min_inlier_mass
+    accept = (enough & want & (quality >= min_quality)
+              & (n_in >= min_corrs) & abs_ok)
     # Only accepted poses consume their inliers; a rejected round cannot
     # starve later instances of this object.
     consumed = consumed | (inliers & accept)
@@ -337,7 +348,7 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
 def fit_all_objects(corrs, K, npx, rng, instance_counts, num_hypotheses=400,
                     inlier_thresh=4.0, max_instances=1, min_quality=0.5,
                     use_prosac=False, refine_iters=3, min_triangle_area=0.0,
-                    neighbour_px=20.0):
+                    neighbour_px=20.0, min_inlier_mass=8.0):
   """vmap of fit_instances over the object axis of a Correspondences batch.
 
   corrs: epos_tpu.ops.corresp.Correspondences ([O, C, ...] arrays).
@@ -354,7 +365,7 @@ def fit_all_objects(corrs, K, npx, rng, instance_counts, num_hypotheses=400,
         max_instances=max_instances, num_instances=n_inst,
         min_quality=min_quality, use_prosac=use_prosac,
         refine_iters=refine_iters, min_triangle_area=min_triangle_area,
-        neighbour_px=neighbour_px)
+        neighbour_px=neighbour_px, min_inlier_mass=min_inlier_mass)
 
   return jax.vmap(per_obj)(
       corrs.coord_2d, corrs.coord_3d, corrs.conf, corrs.px_id, corrs.valid,

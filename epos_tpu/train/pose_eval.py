@@ -87,10 +87,14 @@ def vsd_error(renderer, obj_id, K, R_est, t_est, R_gt, t_gt, diameter,
   if depth_im is None:
     depth_im = d_gt
 
-  # Visibility masks (bop_toolkit visib.estimate_visib_mask_* semantics,
-  # tolerance delta against the scene depth).
-  visib_gt = (d_gt > 0) & (d_gt <= depth_im + delta)
-  visib_est = (d_est > 0) & ((depth_im == 0) | (d_est <= depth_im + delta))
+  # Visibility masks — exact bop_toolkit 'bop19' semantics
+  # (visibility.estimate_visib_mask_gt/_est): a rendered pixel is visible
+  # when within delta of the scene depth OR the scene depth is missing
+  # there (d_test == 0); the est mask additionally inherits GT-visible
+  # pixels the estimate also renders.
+  visib_gt = (d_gt > 0) & ((d_gt <= depth_im + delta) | (depth_im == 0))
+  visib_est = (d_est > 0) & ((d_est <= depth_im + delta) | (depth_im == 0))
+  visib_est = visib_est | (visib_gt & (d_est > 0))
   visib_inter = visib_gt & visib_est
   n_union = (visib_gt | visib_est).sum()
   if n_union == 0:
@@ -127,7 +131,8 @@ def continuous_syms_to_discrete(axis, n=36):
   return out
 
 
-def bop19_average_recall(matches_mssd, matches_mspd, diameters):
+def bop19_average_recall(matches_mssd, matches_mspd, diameters,
+                         matches_vsd=None):
   """AR over the BOP19 threshold grids.
 
   Args:
@@ -136,8 +141,12 @@ def bop19_average_recall(matches_mssd, matches_mspd, diameters):
     matches_mspd: list of (obj_id, mspd_error) per GT instance (pixels,
       already scaled by the image-size normalizer if desired).
     diameters: {obj_id: diameter_mm}.
-  Returns dict with ar_mssd, ar_mspd, ar (mean of the two; add VSD
-  externally when depth is available).
+    matches_vsd: optional list of (obj_id, [err per tau]) per GT instance
+      (tau swept over 5%..50% of the diameter, as vsd_error returns).
+  Returns dict with ar_mssd, ar_mspd, ar_vsd (if given), and ar — the BOP19
+  mean over the three errors (two when VSD is unavailable), the leaderboard
+  AR_core quantity (reference infer.py:751-760 output format feeds the same
+  bop_toolkit computation).
   """
   rec_mssd = []
   for thr_frac in np.arange(0.05, 0.51, 0.05):
@@ -149,15 +158,29 @@ def bop19_average_recall(matches_mssd, matches_mspd, diameters):
     rec_mspd.append(np.mean(ok) if ok else 0.0)
   ar_mssd = float(np.mean(rec_mssd))
   ar_mspd = float(np.mean(rec_mspd))
-  return {'ar_mssd': ar_mssd, 'ar_mspd': ar_mspd,
-          'ar': (ar_mssd + ar_mspd) / 2.0}
+  out = {'ar_mssd': ar_mssd, 'ar_mspd': ar_mspd}
+  parts = [ar_mssd, ar_mspd]
+  if matches_vsd is not None:
+    # BOP19 VSD recall: mean over the (tau, theta) grid — tau indexes the
+    # per-GT error vector, theta in {0.05..0.5} thresholds it.
+    rec_vsd = []
+    for ti in range(10):
+      errs = [(e[ti] if np.ndim(e) else e) for _, e in matches_vsd]
+      for theta in np.arange(0.05, 0.51, 0.05):
+        rec_vsd.append(np.mean([e < theta for e in errs]) if errs else 0.0)
+    out['ar_vsd'] = float(np.mean(rec_vsd))
+    parts.append(out['ar_vsd'])
+  out['ar'] = float(np.mean(parts))
+  return out
 
 
 def evaluate_localization(results, gt_per_image, models_pts, diameters,
-                          Ks, syms=None, im_widths=None):
-  """Greedy matching of estimates to GT per image (LOCALIZATION protocol):
-  per (scene, im, obj), each GT instance consumes the highest-score unmatched
-  estimate. Returns bop19_average_recall output + per-metric details.
+                          Ks, syms=None, im_widths=None, vsd_renderer=None,
+                          depth_ims=None):
+  """Greedy min-error matching of estimates to GT per image (LOCALIZATION
+  protocol, bop_toolkit pose_matching semantics): per (scene, im, obj) and
+  per error function, (gt, est) pairs are matched smallest-error-first.
+  Returns bop19_average_recall output + per-metric details.
 
   Args:
     results: list of pose dicts (scene_id, im_id, obj_id, R, t, score).
@@ -168,6 +191,12 @@ def evaluate_localization(results, gt_per_image, models_pts, diameters,
     im_widths: optional {(scene_id, im_id): width_px} — MSPD errors are
       normalized by 640/width (BOP19: the threshold grid is defined at VGA
       scale; bop_toolkit pose_error.mspd multiplies by r = 640/w).
+    vsd_renderer: optional Renderer with the eval models loaded, sized to
+      the images — enables VSD and makes the returned 'ar' the BOP19
+      three-error mean.
+    depth_ims: optional {(scene_id, im_id): HxW float mm} real scene depth
+      for VSD visibility; GT render is the fallback (unoccluded assumption,
+      exact for synthetic single-object visibility only).
   """
   syms = syms or {}
   by_key = {}
@@ -176,38 +205,75 @@ def evaluate_localization(results, gt_per_image, models_pts, diameters,
   for v in by_key.values():
     v.sort(key=lambda r: -r.get('score', 0.0))
 
+  def _greedy_match(err_mat):
+    """Greedy min-error assignment (bop_toolkit pose_matching.match_poses
+    semantics per error function): repeatedly pair the (gt, est) with the
+    smallest error. Returns per-GT matched column or -1."""
+    err = np.array(err_mat, np.float64)
+    n_gt, n_est = err.shape
+    assign = np.full(n_gt, -1, np.int64)
+    for _ in range(min(n_gt, n_est)):
+      gi, ei = np.unravel_index(np.argmin(err), err.shape)
+      if not np.isfinite(err[gi, ei]):
+        break
+      assign[gi] = ei
+      err[gi, :] = np.inf
+      err[:, ei] = np.inf
+    return assign
+
   m_mssd, m_mspd, m_adi = [], [], []
+  m_vsd = [] if vsd_renderer is not None else None
   for (scene_id, im_id), gts in gt_per_image.items():
-    used = set()
+    K = Ks[(scene_id, im_id)]
+    r_norm = 1.0
+    if im_widths is not None:
+      r_norm = 640.0 / im_widths[(scene_id, im_id)]
+    # Group this image's GTs by object; estimates are per-object lists.
+    gt_by_obj = {}
     for gt in gts:
-      obj = gt['obj_id']
+      gt_by_obj.setdefault(gt['obj_id'], []).append(gt)
+    for obj, gts_o in gt_by_obj.items():
       ests = by_key.get((scene_id, im_id, obj), [])
-      best = None
-      for i, e in enumerate(ests):
-        if i not in used:
-          best = (i, e)
-          break
-      if best is None:
-        m_mssd.append((obj, np.inf))
-        m_mspd.append((obj, np.inf))
-        m_adi.append((obj, np.inf))
-        continue
-      used.add(best[0])
-      e = best[1]
       pts = models_pts[obj]
-      K = Ks[(scene_id, im_id)]
-      m_mssd.append((obj, mssd_error(
-          pts, e['R'], e['t'], gt['R'], gt['t'], syms.get(obj))))
-      r_norm = 1.0
-      if im_widths is not None:
-        r_norm = 640.0 / im_widths[(scene_id, im_id)]
-      m_mspd.append((obj, r_norm * mspd_error(
-          pts, K, e['R'], e['t'], gt['R'], gt['t'], syms.get(obj))))
-      m_adi.append((obj, adi_error(
-          pts, e['R'], e['t'], gt['R'], gt['t'])))
-  out = bop19_average_recall(m_mssd, m_mspd, diameters)
+      # Error matrices [n_gt, n_est] per metric; each metric is matched
+      # independently (as bop_toolkit evaluates each error function with
+      # its own matching).
+      mat_mssd = [[mssd_error(pts, e['R'], e['t'], g['R'], g['t'],
+                              syms.get(obj)) for e in ests] for g in gts_o]
+      mat_mspd = [[r_norm * mspd_error(pts, K, e['R'], e['t'], g['R'],
+                                       g['t'], syms.get(obj))
+                   for e in ests] for g in gts_o]
+      mat_adi = [[adi_error(pts, e['R'], e['t'], g['R'], g['t'])
+                  for e in ests] for g in gts_o]
+      for mat, out_list in ((mat_mssd, m_mssd), (mat_mspd, m_mspd),
+                            (mat_adi, m_adi)):
+        if ests:
+          assign = _greedy_match(mat)
+        else:
+          assign = np.full(len(gts_o), -1, np.int64)
+        for gi in range(len(gts_o)):
+          out_list.append(
+              (obj, mat[gi][assign[gi]] if assign[gi] >= 0 else np.inf))
+      if m_vsd is not None:
+        depth_im = (depth_ims or {}).get((scene_id, im_id))
+        mat_vsd = [[vsd_error(vsd_renderer, obj, K, e['R'], e['t'],
+                              g['R'], g['t'], diameters[obj],
+                              depth_im=depth_im)
+                    for e in ests] for g in gts_o]
+        if ests:
+          assign = _greedy_match(
+              [[float(np.mean(v)) for v in row] for row in mat_vsd])
+        else:
+          assign = np.full(len(gts_o), -1, np.int64)
+        for gi in range(len(gts_o)):
+          m_vsd.append(
+              (obj, mat_vsd[gi][assign[gi]] if assign[gi] >= 0
+               else [np.inf] * 10))
+  out = bop19_average_recall(m_mssd, m_mspd, diameters, matches_vsd=m_vsd)
   out['matches_mssd'] = m_mssd
   out['matches_mspd'] = m_mspd
+  if m_vsd is not None:
+    out['matches_vsd'] = m_vsd
   # Classic Hinterstoisser ADI recall at 10% of the diameter — coarser
   # than the BOP grids, useful as a wider-dynamic-range tracking signal.
   ok = [err < 0.1 * diameters[obj] for obj, err in m_adi]

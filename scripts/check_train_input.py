@@ -25,8 +25,16 @@ logging.basicConfig(level=logging.INFO, format='%(asctime)s %(message)s', force=
 log = logging.getLogger('check_train_input')
 
 
-def main(args=None, num_batches=5, max_err_px=1.0):
-  cfg = config_from_args(args, 'EPOS-TPU train-input checker')
+def main(args=None, num_batches=None, max_err_px=1.0):
+  # Script-local flags (reference check_train_input.py:30-37).
+  local = argparse.ArgumentParser(add_help=False)
+  local.add_argument('--num_batches_to_check', type=int, default=5)
+  local.add_argument('--print_shapes', action='store_true',
+                     help='Print shapes of the input tensors.')
+  ns, rest = local.parse_known_args(args)
+  if num_batches is None:
+    num_batches = ns.num_batches_to_check
+  cfg = config_from_args(rest, 'EPOS-TPU train-input checker')
   crop = tuple(cfg.train_crop_size)
   stride = min(cfg.decoder_output_stride) if cfg.decoder_output_stride else \
       cfg.encoder_output_stride
@@ -44,6 +52,10 @@ def main(args=None, num_batches=5, max_err_px=1.0):
   for i, b in enumerate(loader):
     if i >= num_batches:
       break
+    if ns.print_shapes:
+      for k in sorted(b):
+        v = np.asarray(b[k])
+        log.info('  %s: %s %s', k, v.shape, v.dtype)
     n = int(b[common.GT_NUM][0])
     K = b[common.K][0].copy()
     K[:2] /= stride

@@ -20,12 +20,16 @@ from epos_tpu.ops import geometry
 
 
 def create_example(sp, scene_id, im_id, scene_camera, scene_gt,
-                   scene_gt_info, encode_ext='.jpg'):
+                   scene_gt_info, encode_ext='.jpg', add_gt=True):
   rgb_path = sp['rgb_tpath'].format(scene_id=scene_id, im_id=im_id)
   im = cv2.cvtColor(cv2.imread(rgb_path), cv2.COLOR_BGR2RGB)
   h, w = im.shape[:2]
+  if encode_ext is None:
+    # --rgb_format=None: keep the original on-disk encoding
+    # (reference create_tfrecord.py:70-74).
+    encode_ext = os.path.splitext(rgb_path)[1] or '.png'
   gt_list = []
-  for gt_id, gt in enumerate(scene_gt[im_id]):
+  for gt_id, gt in enumerate(scene_gt[im_id] if add_gt else []):
     mask_path = sp['mask_visib_tpath'].format(
         scene_id=scene_id, im_id=im_id, gt_id=gt_id)
     mask = cv2.imread(mask_path, cv2.IMREAD_GRAYSCALE)
@@ -53,8 +57,24 @@ def main(args=None):
   p.add_argument('--split_type', default=None)
   p.add_argument('--examples_filename', default=None)
   p.add_argument('--output_name', default=None)
-  p.add_argument('--encode_ext', default='.jpg')
+  p.add_argument('--encode_ext', default=None,
+                 help="Extension alias for --rgb_format (e.g. '.png').")
+  # Reference flag surface (create_tfrecord.py:64-74).
+  p.add_argument('--rgb_format', default='jpg',
+                 help="'jpg', 'png' or 'None' (keep original encoding).")
+  p.add_argument('--add_gt', default='True',
+                 help='Whether to add ground-truth annotations.')
+  p.add_argument('--shuffle', default='False',
+                 help='Whether to shuffle the examples.')
   ns = p.parse_args(args)
+  add_gt = str(ns.add_gt).lower() in ('1', 'true', 'yes')
+  shuffle = str(ns.shuffle).lower() in ('1', 'true', 'yes')
+  if ns.encode_ext is not None:
+    encode_ext = ns.encode_ext
+  elif str(ns.rgb_format).lower() in ('none', ''):
+    encode_ext = None
+  else:
+    encode_ext = '.' + ns.rgb_format.lstrip('.')
 
   sp = bop.get_split_params(config_epos.BOP_PATH, ns.dataset, ns.split,
                             ns.split_type)
@@ -68,6 +88,9 @@ def main(args=None):
     for scene_id in bop.get_present_scene_ids(sp):
       gts = bop.load_scene_gt(sp['scene_gt_tpath'].format(scene_id=scene_id))
       examples += [(scene_id, im_id) for im_id in sorted(gts)]
+  if shuffle:
+    import random
+    random.Random(0).shuffle(examples)
 
   out_name = ns.output_name or f'{ns.dataset}_{split_name}'
   out_path = os.path.join(config_epos.TF_DATA_PATH, f'{out_name}.tfrecord')
@@ -93,7 +116,7 @@ def main(args=None):
         infos = dict(infos)
         infos[im_id] = [{'visib_fract': 1.0}] * len(gts[im_id])
       w.write(create_example(sp, scene_id, im_id, cam, gts, infos,
-                             ns.encode_ext))
+                             encode_ext, add_gt=add_gt))
       n += 1
       if n % 100 == 0:
         print(f'{n}/{len(examples)} examples written')

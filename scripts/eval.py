@@ -29,7 +29,14 @@ log = logging.getLogger('eval')
 
 
 def main(args=None):
-  cfg = config_from_args(args, 'EPOS-TPU segmentation eval')
+  # Script-local flag (reference eval.py:43-45): minimum seconds between
+  # evaluations; paired with the checkpoint re-eval guard below.
+  import argparse
+  import time as time_lib
+  local = argparse.ArgumentParser(add_help=False)
+  local.add_argument('--eval_interval_secs', type=int, default=0)
+  ns, rest = local.parse_known_args(args)
+  cfg = config_from_args(rest, 'EPOS-TPU segmentation eval')
   model_dir = cfg.model_dir
   ckpt_dir = os.path.join(model_dir, 'checkpoints')
   eval_dir = os.path.join(model_dir, 'eval')
@@ -40,13 +47,19 @@ def main(args=None):
     log.info('No checkpoint to evaluate.')
     return None
 
-  # Re-eval guard (eval.py:74-91).
+  # Re-eval guard (eval.py:74-91): skip when this checkpoint was already
+  # evaluated OR not enough time passed since the last evaluation.
   guard_path = os.path.join(eval_dir, 'last_evaluation.json')
   if os.path.exists(guard_path):
     with open(guard_path) as f:
       last = json.load(f)
     if last.get('step') == step:
       log.info('Checkpoint step %d already evaluated; skipping.', step)
+      return None
+    since = time_lib.time() - last.get('time', 0.0)
+    if since < ns.eval_interval_secs:
+      log.info('Skipping evaluation (only %.0f s from the last one).',
+               since)
       return None
 
   crop = tuple(cfg.eval_crop_size)
@@ -92,7 +105,8 @@ def main(args=None):
            '(%s)', n, step, res['miou_all'], res['miou_fg'], path)
 
   with open(guard_path, 'w') as f:
-    json.dump({'step': step, 'miou_all': res['miou_all'],
+    json.dump({'step': step, 'time': time_lib.time(),
+               'miou_all': res['miou_all'],
                'miou_fg': res['miou_fg']}, f)
   return res
 

@@ -35,6 +35,8 @@ def main(args=None):
   p.add_argument('--split_type', default=None)
   p.add_argument('--results', required=True)
   p.add_argument('--output_path', default=None)
+  p.add_argument('--no_vsd', action='store_true',
+                 help='Skip VSD (AR becomes the MSSD/MSPD mean).')
   ns = p.parse_args(args)
 
   results = bop.load_bop_results(ns.results)
@@ -72,34 +74,63 @@ def main(args=None):
 
   # GT per image (only images present in the results).
   keys = sorted({(r['scene_id'], r['im_id']) for r in results})
-  gt_per_image, Ks, im_widths = {}, {}, {}
+  gt_per_image, Ks, im_widths, depth_ims = {}, {}, {}, {}
   for scene_id in sorted({k[0] for k in keys}):
     gts = bop.load_scene_gt(sp['scene_gt_tpath'].format(scene_id=scene_id))
     cams = bop.load_scene_camera(
         sp['scene_camera_tpath'].format(scene_id=scene_id))
+    info_path = sp['scene_gt_info_tpath'].format(scene_id=scene_id)
+    infos = (bop.load_json(info_path, keys_to_int=True)
+             if os.path.exists(info_path) else {})
     for (s_id, im_id) in keys:
       if s_id != scene_id:
         continue
+      im_info = infos.get(im_id, [])
       gt_per_image[(s_id, im_id)] = [
           {'obj_id': g['obj_id'], 'R': g['cam_R_m2c'],
-           't': g['cam_t_m2c'].flatten()} for g in gts[im_id]
-          if g['obj_id'] in models_pts]
+           't': g['cam_t_m2c'].flatten()} for gt_id, g in enumerate(gts[im_id])
+          if g['obj_id'] in models_pts
+          # BOP19 protocol: only GT instances visible from >= 10% count
+          # (bop_toolkit eval_calc_scores visib_gt_min).
+          and (gt_id >= len(im_info)
+               or im_info[gt_id].get('visib_fract', 1.0) >= 0.1)]
       Ks[(s_id, im_id)] = cams[im_id]['cam_K']
       # Image width for BOP19's MSPD scale normalization (r = 640/w):
       # principal point ~ w/2 in the BOP datasets and the synthetic sets.
       im_widths[(s_id, im_id)] = 2.0 * cams[im_id]['cam_K'][0, 2]
+      # Real scene depth for VSD visibility when the split ships it.
+      d = bop.load_depth(
+          sp['depth_tpath'].format(scene_id=s_id, im_id=im_id),
+          cams[im_id].get('depth_scale', 1.0))
+      if d is not None:
+        depth_ims[(s_id, im_id)] = d
+
+  # VSD renderer: eval models at the split's image size (BOP19 AR is the
+  # mean over VSD+MSSD+MSPD; reference defers to bop_toolkit, here in-repo).
+  vsd_renderer = None
+  if not ns.no_vsd:
+    from epos_tpu.data import renderer as renderer_lib
+    if depth_ims:
+      h, w = next(iter(depth_ims.values())).shape[:2]
+    else:
+      w, h = sp['im_size']
+    vsd_renderer = renderer_lib.Renderer()
+    vsd_renderer.init(w, h)
+    for obj_id in mp['obj_ids']:
+      vsd_renderer.add_object(obj_id, mp['model_tpath'].format(obj_id=obj_id))
 
   out = pose_eval.evaluate_localization(
       results, gt_per_image, models_pts, diameters, Ks, syms,
-      im_widths=im_widths)
+      im_widths=im_widths, vsd_renderer=vsd_renderer, depth_ims=depth_ims)
   log.info('Images: %d, GT instances: %d, estimates: %d',
            len(gt_per_image), len(out['matches_mssd']), len(results))
-  log.info('AR_MSSD=%.4f AR_MSPD=%.4f AR=%.4f ADI@0.1d=%.4f',
+  log.info('AR_VSD=%s AR_MSSD=%.4f AR_MSPD=%.4f AR=%.4f ADI@0.1d=%.4f',
+           ('%.4f' % out['ar_vsd']) if 'ar_vsd' in out else 'n/a',
            out['ar_mssd'], out['ar_mspd'], out['ar'], out['adi01_recall'])
   if ns.output_path:
     with open(ns.output_path, 'w') as f:
-      json.dump({'ar_mssd': out['ar_mssd'], 'ar_mspd': out['ar_mspd'],
-                 'ar': out['ar']}, f)
+      json.dump({k: out[k] for k in
+                 ('ar_vsd', 'ar_mssd', 'ar_mspd', 'ar') if k in out}, f)
   return out
 
 

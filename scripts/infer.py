@@ -172,6 +172,10 @@ def main(args=None, time_stages=False):
   model_dir = cfg.model_dir
   if model_dir is None:
     raise ValueError('--model is required')
+  if cfg.cpu_only:
+    # Reference --cpu_only hides the GPU (infer.py:40-41,686); here: force
+    # the CPU backend before any device is claimed.
+    jax.config.update('jax_platforms', 'cpu')
 
   crop = tuple(cfg.infer_crop_size)
   stride = min(cfg.decoder_output_stride) if cfg.decoder_output_stride else \

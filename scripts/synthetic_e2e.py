@@ -37,11 +37,20 @@ def main(args=None):
   p.add_argument('--gt_knn_frags', type=int, default=3)
   p.add_argument('--train_images', type=int, default=512)
   p.add_argument('--test_images', type=int, default=8)
+  # Train-DISTRIBUTION eval split (VERDICT r2 #1): held-out poses drawn
+  # from the same distribution as the training images — separates pipeline
+  # correctness from small-data generalization.
+  p.add_argument('--holdout_images', type=int, default=0)
   p.add_argument('--instances_per_obj', type=int, default=2)
   p.add_argument('--im_width', type=int, default=160)
   p.add_argument('--batch_size', type=int, default=4)
   p.add_argument('--learning_rate', type=float, default=1e-3)
-  p.add_argument('--min_ar', type=float, default=None)
+  p.add_argument('--min_ar', type=float, default=None,
+                 help='Gate on the test-split BOP19 AR.')
+  p.add_argument('--min_holdout_ar', type=float, default=None,
+                 help='Gate on the train-distribution holdout AR.')
+  p.add_argument('--skip_train', action='store_true',
+                 help='Evaluate an existing checkpoint in work_dir only.')
   ns = p.parse_args(args)
 
   root = os.path.abspath(ns.work_dir)
@@ -65,12 +74,17 @@ def main(args=None):
   kw = dict(num_objs=2, instances_per_obj=ns.instances_per_obj,
             symmetric_first=True, crowded=True, z_range=(360, 500),
             im_size=(w, h))
-  synthetic.make_bop_dataset(bop_dir, 'synthbox', num_scenes=1,
-                             ims_per_scene=ns.train_images, split='train',
-                             **kw)
+  if not ns.skip_train:
+    synthetic.make_bop_dataset(bop_dir, 'synthbox', num_scenes=1,
+                               ims_per_scene=ns.train_images, split='train',
+                               **kw)
   synthetic.make_bop_dataset(bop_dir, 'synthbox', num_scenes=1,
                              ims_per_scene=ns.test_images, split='test',
                              **kw)
+  if ns.holdout_images:
+    synthetic.make_bop_dataset(
+        bop_dir, 'synthbox', num_scenes=1,
+        ims_per_scene=ns.holdout_images, split='train_holdout', **kw)
 
   model_name = 'e2e-synthbox'
   model_dir = os.path.join(config_epos.TF_MODELS_PATH, model_name)
@@ -109,7 +123,8 @@ def main(args=None):
   import scripts.infer as infer_script
   import scripts.eval_poses as eval_poses_script
 
-  for split in ('train', 'test'):
+  eval_splits = ['test'] + (['train_holdout'] if ns.holdout_images else [])
+  for split in (['train'] if not ns.skip_train else []) + eval_splits:
     cel.main(['--dataset', 'synthbox', '--split', split])
     ctr.main(['--dataset', 'synthbox', '--split', split,
               '--output_name', f'synthbox_{split}', '--encode_ext', '.png'])
@@ -119,36 +134,57 @@ def main(args=None):
   # long single-process run OOMs; checkpoints + auto-resume make process
   # restarts free.
   import subprocess
-  chunk = 10000
-  done = 0
-  while done < ns.steps:
-    done = min(ns.steps, done + chunk)
-    subprocess.run(
-        [sys.executable, os.path.join(os.path.dirname(__file__),
-                                      'train.py'),
-         '--model', model_name, '--stop_at_step', str(done)],
-        env=dict(os.environ), check=True)
-  infer_script.main(['--model', model_name])
+  if not ns.skip_train:
+    chunk = 10000
+    done = 0
+    while done < ns.steps:
+      done = min(ns.steps, done + chunk)
+      subprocess.run(
+          [sys.executable, os.path.join(os.path.dirname(__file__),
+                                        'train.py'),
+           '--model', model_name, '--stop_at_step', str(done)],
+          env=dict(os.environ), check=True)
 
-  csv_path = os.path.join(model_dir, 'infer', 'estimated-poses.csv')
-  out = eval_poses_script.main(
-      ['--dataset', 'synthbox', '--split', 'test', '--results', csv_path])
   from epos_tpu.data import bop
-  n_est = len(bop.load_bop_results(csv_path))
-  result = {
-      'ar': round(out['ar'], 4),
-      'ar_mssd': round(out['ar_mssd'], 4),
-      'ar_mspd': round(out['ar_mspd'], 4),
-      'adi01': round(out['adi01_recall'], 4),
-      'n_estimates': n_est,
-      'n_gt': len(out['matches_mssd']),
-      'steps': ns.steps,
-  }
+  result = {'steps': ns.steps}
+  params_path = os.path.join(model_dir, 'params.yml')
+  for split in eval_splits:
+    # params.yml wins over CLI flags (reference precedence), so point it at
+    # this split's record before running inference.
+    params = yaml.safe_load(open(params_path))
+    params['infer_tfrecord_names'] = [f'synthbox_{split}']
+    yaml.safe_dump(params, open(params_path, 'w'))
+    infer_script.main(['--model', model_name, '--infer_name', split])
+    csv_path = os.path.join(model_dir, f'infer_{split}',
+                            'estimated-poses.csv')
+    out = eval_poses_script.main(
+        ['--dataset', 'synthbox', '--split', split, '--results', csv_path])
+    tag = '' if split == 'test' else '_holdout'
+    result.update({
+        f'ar{tag}': round(out['ar'], 4),
+        f'ar_vsd{tag}': round(out.get('ar_vsd', -1.0), 4),
+        f'ar_mssd{tag}': round(out['ar_mssd'], 4),
+        f'ar_mspd{tag}': round(out['ar_mspd'], 4),
+        f'adi01{tag}': round(out['adi01_recall'], 4),
+        f'n_estimates{tag}': len(bop.load_bop_results(csv_path)),
+        f'n_gt{tag}': len(out['matches_mssd']),
+    })
+    if split == 'test':
+      ar_test = out['ar']
+    else:
+      ar_holdout = out['ar']
+
   print(json.dumps(result))
-  if ns.min_ar is not None and out['ar'] < ns.min_ar:
-    print(f'FAIL: AR {out["ar"]:.4f} < min_ar {ns.min_ar}', file=sys.stderr)
-    return 1
-  return 0
+  rc = 0
+  if ns.min_ar is not None and ar_test < ns.min_ar:
+    print(f'FAIL: test AR {ar_test:.4f} < min_ar {ns.min_ar}',
+          file=sys.stderr)
+    rc = 1
+  if ns.min_holdout_ar is not None and ar_holdout < ns.min_holdout_ar:
+    print(f'FAIL: holdout AR {ar_holdout:.4f} < min_holdout_ar '
+          f'{ns.min_holdout_ar}', file=sys.stderr)
+    rc = 1
+  return rc
 
 
 if __name__ == '__main__':

@@ -48,7 +48,7 @@ def dense_box_mesh(n=6, **kw):
           'verts_corner': base['pts']}
 
 
-def box_mesh_subdivided(sx=60.0, sy=40.0, sz=30.0, n=6):
+def box_mesh_subdivided(sx=60.0, sy=40.0, sz=30.0, n=6, color_variant=0):
   """Box with each face triangulated into an (n-1)^2 grid and per-vertex
   POSITION-CODED colors (RGB = normalized xyz).
 
@@ -56,7 +56,15 @@ def box_mesh_subdivided(sx=60.0, sy=40.0, sz=30.0, n=6):
   so the subdivision turns the position code into a coarse texture
   gradient across every face — giving dense-prediction training a real
   visual signal (plain boxes with one constant color are nearly
-  textureless and unlearnable beyond the silhouette)."""
+  textureless and unlearnable beyond the silhouette).
+
+  color_variant: per-object palette (channel permutation + inversion).
+  Because the position code is normalized by each box's half-size, two
+  boxes of variant 0 have IDENTICAL face color patterns and per-pixel
+  object classification is intrinsically ambiguous (measured in round 3:
+  40-80% of correspondences landed on the other object, destroying the
+  fitted poses). Real BOP objects are visually distinct; distinct palettes
+  restore that property."""
   hx, hy, hz = sx / 2, sy / 2, sz / 2
   pts, faces = [], []
   u = np.linspace(-1, 1, n)
@@ -86,6 +94,10 @@ def box_mesh_subdivided(sx=60.0, sy=40.0, sz=30.0, n=6):
   pts = np.asarray(pts, np.float64)
   half = np.array([hx, hy, hz])
   colors = np.clip((pts / half + 1.0) * 127.5, 0, 255).astype(np.uint8)
+  perms = [(0, 1, 2), (2, 0, 1), (1, 2, 0), (0, 2, 1), (2, 1, 0), (1, 0, 2)]
+  colors = colors[:, perms[color_variant % 6]]
+  if (color_variant // 6) % 2:
+    colors = 255 - colors
   return {'pts': pts, 'faces': np.asarray(faces, np.int32),
           'colors': colors}
 
@@ -138,7 +150,7 @@ def synthbox_meshes(num_objs=2, symmetric_first=False):
       sz = 25.0
     else:
       sx, sy, sz = 50.0 + 10 * obj_id, 35.0 + 5 * obj_id, 25.0
-    mesh = box_mesh_subdivided(sx, sy, sz, n=6)
+    mesh = box_mesh_subdivided(sx, sy, sz, n=6, color_variant=obj_id - 1)
     dense = dense_box_mesh(n=8, sx=sx, sy=sy, sz=sz)
     meshes[obj_id] = mesh
     denses[obj_id] = dense
@@ -213,11 +225,16 @@ def make_bop_dataset(root, dataset_name='synthbox', num_scenes=1,
   for obj_id, mesh in meshes.items():
     renderer.add_object(obj_id, mesh)
 
-  split_seed = {'test': 0, 'train': 77000}.get(split, 154000)
+  # Distinct seed blocks per split. 'train_holdout' draws NEW poses from the
+  # SAME distribution as 'train' — the train-distribution eval split that
+  # separates pipeline correctness from small-data generalization.
+  split_seed = {'test': 0, 'train': 77000,
+                'train_holdout': 231000}.get(split, 154000)
   split_dir = os.path.join(ds_dir, split)
   for scene_id in range(1, num_scenes + 1):
     sdir = os.path.join(split_dir, f'{scene_id:06d}')
     os.makedirs(os.path.join(sdir, 'rgb'), exist_ok=True)
+    os.makedirs(os.path.join(sdir, 'depth'), exist_ok=True)
     os.makedirs(os.path.join(sdir, 'mask_visib'), exist_ok=True)
     scene_gt, scene_camera, scene_gt_info = {}, {}, {}
     for im_id in range(ims_per_scene):
@@ -267,9 +284,16 @@ def make_bop_dataset(root, dataset_name='synthbox', num_scenes=1,
                       float(vis.sum() / max(m_full.sum(), 1))})
       cv2.imwrite(os.path.join(sdir, 'rgb', f'{im_id:06d}.png'),
                   cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+      # Real scene depth (occlusion-resolved z-buffer) in the BOP uint16
+      # format — lets VSD evaluate against true visibility instead of the
+      # unoccluded GT-render assumption. depth_scale 0.1 -> 0.1mm units.
+      depth_scale = 0.1
+      scene_depth = np.where(any_hit, depth_stack.min(axis=0), 0.0)
+      cv2.imwrite(os.path.join(sdir, 'depth', f'{im_id:06d}.png'),
+                  np.round(scene_depth / depth_scale).astype(np.uint16))
       scene_gt[str(im_id)] = gts
       scene_camera[str(im_id)] = {'cam_K': K.flatten().tolist(),
-                                  'depth_scale': 1.0}
+                                  'depth_scale': depth_scale}
       scene_gt_info[str(im_id)] = infos
     with open(os.path.join(sdir, 'scene_gt.json'), 'w') as f:
       json.dump(scene_gt, f)

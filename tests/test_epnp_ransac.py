@@ -313,6 +313,78 @@ def test_ransac_rejects_spurious_small_cluster():
     assert min(e1, e2) < 3.0
 
 
+def test_detection_rejects_spurious_absent_object():
+  """Regression (VERDICT r2 #3): in DETECTION mode every object is enabled,
+  so an ABSENT object whose few spurious tau_a pixels happen to admit a
+  6-point fit must NOT emit a pose. The absolute acceptance floor
+  (min_inlier_mass, mirroring pyprogressivex's absolute min_coverage role,
+  reference infer.py:84-86,482) rejects it: the instance-relative tau_q
+  criteria alone auto-pass the first instance. A PRESENT object with the
+  same settings must still be recovered."""
+  from epos_tpu.config import Config
+  cfg = Config()
+
+  # Absent object: 12 scattered spurious correspondences at near-threshold
+  # confidence (the obj-conf head leaks a little probability mass).
+  r = np.random.default_rng(50)
+  n_sp = 12
+  pts_sp = r.uniform(-60, 60, (n_sp, 3)).astype(np.float32)
+  uv_sp = r.uniform(0, 640, (n_sp, 2)).astype(np.float32)
+  conf_sp = r.uniform(0.12, 0.35, n_sp).astype(np.float32)
+  res = ransac.fit_instances(
+      jnp.asarray(uv_sp), jnp.asarray(pts_sp), jnp.asarray(conf_sp),
+      jnp.arange(n_sp, dtype=jnp.int32), jnp.ones(n_sp, bool),
+      jnp.asarray(K, jnp.float32), npx=256, rng=jax.random.PRNGKey(7),
+      num_hypotheses=256, inlier_thresh=cfg.inlier_thresh,
+      max_instances=2, num_instances=2,
+      min_quality=cfg.min_hypothesis_quality,
+      min_inlier_mass=cfg.min_inlier_mass)
+  assert not bool(np.asarray(res.valid).any()), (
+      'absent object emitted a pose: %s' % np.asarray(res.valid))
+
+  # Present object at realistic confidences: still recovered at the same
+  # default settings.
+  pts, uv, R, t = make_corrs(100, seed=51, noise=0.2)
+  conf = r.uniform(0.5, 1.0, 100).astype(np.float32)
+  res = ransac.fit_instances(
+      jnp.asarray(uv, jnp.float32), jnp.asarray(pts, jnp.float32),
+      jnp.asarray(conf), jnp.arange(100, dtype=jnp.int32),
+      jnp.ones(100, bool), jnp.asarray(K, jnp.float32), npx=256,
+      rng=jax.random.PRNGKey(8), num_hypotheses=256,
+      inlier_thresh=cfg.inlier_thresh, max_instances=2, num_instances=2,
+      min_quality=cfg.min_hypothesis_quality,
+      min_inlier_mass=cfg.min_inlier_mass)
+  assert bool(res.valid[0])
+  ang, dt = pose_errors(res.R[0], res.t[0], R, t)
+  assert ang < 2.0 and dt < 15.0, (ang, dt)
+
+
+def test_prosac_shuffled_buffer_order():
+  """Regression (VERDICT r2 #8): PROSAC must rank by the `conf` values, not
+  by buffer position — a shuffled (non-confidence-sorted) buffer must still
+  recover the pose with use_prosac=True."""
+  pts, uv, R, t = make_corrs(120, seed=60, noise=0.2)
+  r = np.random.default_rng(61)
+  n_out = 60
+  pts_all = np.concatenate([pts, r.uniform(-60, 60, (n_out, 3))])
+  uv_all = np.concatenate([uv, r.uniform(0, 640, (n_out, 2))])
+  conf = np.concatenate([r.uniform(0.7, 1.0, 120),
+                         r.uniform(0.1, 0.3, n_out)])
+  perm = r.permutation(180)  # inliers and outliers interleaved
+  res = ransac.fit_instances(
+      jnp.asarray(uv_all[perm], jnp.float32),
+      jnp.asarray(pts_all[perm], jnp.float32),
+      jnp.asarray(conf[perm], jnp.float32),
+      jnp.arange(180, dtype=jnp.int32), jnp.ones(180, bool),
+      jnp.asarray(K, jnp.float32), npx=256, rng=jax.random.PRNGKey(9),
+      num_hypotheses=128, inlier_thresh=4.0, max_instances=1,
+      num_instances=1, min_quality=0.3, use_prosac=True)
+  assert bool(res.valid[0])
+  ang, dt = pose_errors(res.R[0], res.t[0], R, t)
+  assert ang < 2.0, f'rotation err {ang}'
+  assert dt < 15.0, f'translation err {dt}'
+
+
 def test_refine_pose_gn_converges():
   pts, uv, R, t = make_corrs(60, seed=21, noise=0.0)
   # Perturb the pose and refine back.
