@@ -106,6 +106,13 @@ class Config:
       default_factory=lambda: [640, 480])
   train_tfrecord_names: Optional[List[str]] = None
   fine_tune_batch_norm: bool = True
+  # [extension] BatchNorm moving-average momentum override for the xception
+  # family and the ASPP/decoder (None keeps the reference constants:
+  # 0.9997 xception/heads per xception_arg_scope net_xception.py:741-751,
+  # 0.997 resnet/mobilenet). Short from-scratch trainings need a smaller
+  # value: at 0.9997 the moving stats still carry 0.9997^steps of their
+  # init (74% after 1k steps), so eval-mode BN lags the trained params.
+  bn_momentum: Optional[float] = None
   weight_decay: float = 0.00004
   initial_checkpoint: Optional[str] = None
   initialize_last_layer: bool = False

@@ -32,11 +32,13 @@ from epos_tpu.models.layers import (
 
 
 def _backbone(variant, output_stride, multi_grid, dtype,
-              depth_multiplier=1.0, divisible_by=None, bounded=False):
+              depth_multiplier=1.0, divisible_by=None, bounded=False,
+              bn_momentum=None):
   if variant.startswith('xception'):
     return xception_lib.Xception(
         variant=variant, output_stride=output_stride, multi_grid=multi_grid,
-        bounded=bounded, dtype=dtype, name=variant)
+        bounded=bounded, bn_momentum=bn_momentum or 0.9997, dtype=dtype,
+        name=variant)
   if bounded:
     # The reference threads use_bounded_activation only into the xception
     # family (net_xception.py:741-795); resnet/mobilenet arg scopes ignore
@@ -84,6 +86,9 @@ class EposNet(nn.Module):
   fine_tune_batch_norm: bool = True
   depth_multiplier: float = 1.0
   divisible_by: Optional[int] = None
+  # None -> reference constants (0.9997 here and in xception; resnet/
+  # mobilenet keep their own family constants regardless).
+  bn_momentum: Optional[float] = None
   dtype: jnp.dtype = jnp.float32
 
   @nn.compact
@@ -101,11 +106,12 @@ class EposNet(nn.Module):
     # BN trains only when also fine-tuning batch norm (reference:
     # model.py:195, train.py passes fine_tune_batch_norm).
     bn_train = train and self.fine_tune_batch_norm
+    bnm = self.bn_momentum or 0.9997
     x = preprocess_image(images, self.model_variant, self.dtype)
     features, endpoints = _backbone(
         self.model_variant, self.encoder_output_stride, self.multi_grid,
         self.dtype, self.depth_multiplier, self.divisible_by,
-        bounded=bounded)(x, bn_train)
+        bounded=bounded, bn_momentum=self.bn_momentum)(x, bn_train)
 
     depth = 256
     if self.aspp_with_batch_norm:
@@ -114,26 +120,27 @@ class EposNet(nn.Module):
       if self.add_image_level_feature:
         img_feat = jnp.mean(features, axis=(1, 2), keepdims=True)
         img_feat = ConvBN(depth, 1, act=True, bounded=bounded,
-                          dtype=self.dtype, name='image_pooling')(
-                              img_feat, bn_train)
+                          bn_momentum=bnm, dtype=self.dtype,
+                          name='image_pooling')(img_feat, bn_train)
         img_feat = jnp.broadcast_to(
             img_feat, (b, features.shape[1], features.shape[2], depth))
         branches.append(img_feat)
       branches.append(
-          ConvBN(depth, 1, act=True, bounded=bounded, dtype=self.dtype,
-                 name='aspp0')(features, bn_train))
+          ConvBN(depth, 1, act=True, bounded=bounded, bn_momentum=bnm,
+                 dtype=self.dtype, name='aspp0')(features, bn_train))
       for i, rate in enumerate(self.atrous_rates, 1):
         if self.aspp_with_separable_conv:
           branches.append(SplitSeparableConv(
-              depth, rate=rate, bounded=bounded, dtype=self.dtype,
-              name=f'aspp{i}')(features, bn_train))
+              depth, rate=rate, bounded=bounded, bn_momentum=bnm,
+              dtype=self.dtype, name=f'aspp{i}')(features, bn_train))
         else:
           branches.append(ConvBN(depth, 3, rate=rate, act=True,
-                                 bounded=bounded, dtype=self.dtype,
+                                 bounded=bounded, bn_momentum=bnm,
+                                 dtype=self.dtype,
                                  name=f'aspp{i}')(features, bn_train))
       x = jnp.concatenate(branches, axis=-1)
-      x = ConvBN(depth, 1, act=True, bounded=bounded, dtype=self.dtype,
-                 name='concat_projection')(x, bn_train)
+      x = ConvBN(depth, 1, act=True, bounded=bounded, bn_momentum=bnm,
+                 dtype=self.dtype, name='concat_projection')(x, bn_train)
       x = nn.Dropout(rate=0.1, deterministic=not train,
                      name='concat_projection_dropout')(x)
     else:
@@ -147,7 +154,8 @@ class EposNet(nn.Module):
     if self.decoder_output_stride:
       stride = self.decoder_output_stride
       skip = endpoints[_decoder_endpoint(self.model_variant)]
-      skip = ConvBN(48, 1, act=True, bounded=bounded, dtype=self.dtype,
+      skip = ConvBN(48, 1, act=True, bounded=bounded, bn_momentum=bnm,
+                    dtype=self.dtype,
                     name='decoder/feature_projection0')(skip, bn_train)
       out_h = scale_dimension(im_h, 1.0 / stride)
       out_w = scale_dimension(im_w, 1.0 / stride)
@@ -155,14 +163,18 @@ class EposNet(nn.Module):
       skip = resize_bilinear(skip, (out_h, out_w))
       x = jnp.concatenate([x, skip], axis=-1)
       if self.decoder_use_separable_conv:
-        x = SplitSeparableConv(depth, bounded=bounded, dtype=self.dtype,
+        x = SplitSeparableConv(depth, bounded=bounded, bn_momentum=bnm,
+                               dtype=self.dtype,
                                name='decoder/decoder_conv0')(x, bn_train)
-        x = SplitSeparableConv(depth, bounded=bounded, dtype=self.dtype,
+        x = SplitSeparableConv(depth, bounded=bounded, bn_momentum=bnm,
+                               dtype=self.dtype,
                                name='decoder/decoder_conv1')(x, bn_train)
       else:
-        x = ConvBN(depth, 3, act=True, bounded=bounded, dtype=self.dtype,
+        x = ConvBN(depth, 3, act=True, bounded=bounded, bn_momentum=bnm,
+                   dtype=self.dtype,
                    name='decoder/decoder_conv0')(x, bn_train)
-        x = ConvBN(depth, 3, act=True, bounded=bounded, dtype=self.dtype,
+        x = ConvBN(depth, 3, act=True, bounded=bounded, bn_momentum=bnm,
+                   dtype=self.dtype,
                    name='decoder/decoder_conv1')(x, bn_train)
 
     # --- Heads (model.py:396-458): plain convs with bias, no BN/act. With
@@ -216,6 +228,7 @@ def build_model(cfg, num_objs, dtype=None):
       fine_tune_batch_norm=cfg.fine_tune_batch_norm,
       depth_multiplier=cfg.depth_multiplier,
       divisible_by=cfg.divisible_by,
+      bn_momentum=cfg.bn_momentum,
       dtype=dtype)
 
 

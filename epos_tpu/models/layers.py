@@ -153,6 +153,7 @@ class SplitSeparableConv(nn.Module):
   kernel_size: int = 3
   rate: int = 1
   bounded: bool = False
+  bn_momentum: float = 0.9997
   bn_epsilon: float = 1e-5
   dtype: jnp.dtype = jnp.float32
 
@@ -160,11 +161,12 @@ class SplitSeparableConv(nn.Module):
   def __call__(self, x, train=False):
     x = DepthwiseConvBN(kernel_size=self.kernel_size, rate=self.rate,
                         use_explicit_padding=False, act=True,
-                        bounded=self.bounded, bn_epsilon=self.bn_epsilon,
+                        bounded=self.bounded, bn_momentum=self.bn_momentum,
+                        bn_epsilon=self.bn_epsilon,
                         dtype=self.dtype, name='depthwise')(x, train)
     x = ConvBN(self.features, 1, act=True, bounded=self.bounded,
-               bn_epsilon=self.bn_epsilon, dtype=self.dtype,
-               name='pointwise')(x, train)
+               bn_momentum=self.bn_momentum, bn_epsilon=self.bn_epsilon,
+               dtype=self.dtype, name='pointwise')(x, train)
     return x
 
 

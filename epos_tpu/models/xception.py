@@ -120,6 +120,7 @@ class XceptionModule(nn.Module):
   rates: Tuple[int, int, int]
   act_in_sep: bool
   bounded: bool = False
+  bn_momentum: float = 0.9997
   dtype: jnp.dtype = jnp.float32
 
   @nn.compact
@@ -137,19 +138,20 @@ class XceptionModule(nn.Module):
       residual = DepthwiseConvBN(
           kernel_size=3, stride=stride_i, rate=self.rates[i],
           use_explicit_padding=not self.bounded, act=self.act_in_sep,
-          bounded=self.bounded, bn_epsilon=BN_EPS, dtype=self.dtype,
+          bounded=self.bounded, bn_momentum=self.bn_momentum,
+          bn_epsilon=BN_EPS, dtype=self.dtype,
           name=f'separable_conv{i+1}_depthwise')(residual, train)
       residual = ConvBN(
           self.depths[i], 1, act=self.act_in_sep, bounded=self.bounded,
-          bn_epsilon=BN_EPS, dtype=self.dtype,
+          bn_momentum=self.bn_momentum, bn_epsilon=BN_EPS, dtype=self.dtype,
           name=f'separable_conv{i+1}_pointwise')(residual, train)
       if capture is not None and i == 1:
         capture[capture_prefix + f'separable_conv2_pointwise'] = residual
 
     if self.skip == 'conv':
       shortcut = ConvBN(self.depths[-1], 1, stride=self.stride, act=False,
-                        bn_epsilon=BN_EPS, dtype=self.dtype,
-                        name='shortcut')(x, train)
+                        bn_momentum=self.bn_momentum, bn_epsilon=BN_EPS,
+                        dtype=self.dtype, name='shortcut')(x, train)
       if self.bounded:
         return nn.relu6(clip(residual) + clip(shortcut))
       return residual + shortcut
@@ -166,6 +168,7 @@ class Xception(nn.Module):
   output_stride: int = 8
   multi_grid: Optional[Sequence[int]] = None
   bounded: bool = False
+  bn_momentum: float = 0.9997
   dtype: jnp.dtype = jnp.float32
 
   @nn.compact
@@ -176,11 +179,12 @@ class Xception(nn.Module):
     endpoints = {}
     # Root stem (stride 2): net_xception.py:460-464.
     x = ConvBN(32, 3, stride=2, use_explicit_padding=not self.bounded,
-               act=True, bounded=self.bounded, bn_epsilon=BN_EPS,
-               dtype=self.dtype, name='entry_flow/conv1_1')(x, train)
-    x = ConvBN(64, 3, stride=1, act=True, bounded=self.bounded,
+               act=True, bounded=self.bounded, bn_momentum=self.bn_momentum,
                bn_epsilon=BN_EPS, dtype=self.dtype,
-               name='entry_flow/conv1_2')(x, train)
+               name='entry_flow/conv1_1')(x, train)
+    x = ConvBN(64, 3, stride=1, act=True, bounded=self.bounded,
+               bn_momentum=self.bn_momentum, bn_epsilon=BN_EPS,
+               dtype=self.dtype, name='entry_flow/conv1_2')(x, train)
 
     # Dense block stacking with atrous bookkeeping (net_xception.py:327-393).
     # The stem already consumed a factor of 2.
@@ -194,7 +198,8 @@ class Xception(nn.Module):
           x = XceptionModule(
               depths=block.depths, skip=block.skip, stride=1,
               rates=unit_rates, act_in_sep=block.act_in_sep,
-              bounded=self.bounded, dtype=self.dtype,
+              bounded=self.bounded, bn_momentum=self.bn_momentum,
+              dtype=self.dtype,
               name=prefix + 'xception_module')(
                   x, train, capture=endpoints, capture_prefix=prefix)
           rate *= block.stride
@@ -202,7 +207,8 @@ class Xception(nn.Module):
           x = XceptionModule(
               depths=block.depths, skip=block.skip, stride=block.stride,
               rates=block.unit_rates, act_in_sep=block.act_in_sep,
-              bounded=self.bounded, dtype=self.dtype,
+              bounded=self.bounded, bn_momentum=self.bn_momentum,
+              dtype=self.dtype,
               name=prefix + 'xception_module')(
                   x, train, capture=endpoints, capture_prefix=prefix)
           current_stride *= block.stride

@@ -104,6 +104,10 @@ def main(args=None):
         'train_tfrecord_names': ['synthbox_train'],
         'infer_tfrecord_names': ['synthbox_test'],
         'compute_dtype': 'float32',
+        # Short from-scratch regimes: the reference BN momentum 0.9997 keeps
+        # the moving stats 0.9997^steps at their init (74% after 1k steps),
+        # so eval-mode predictions lag the trained params badly.
+        'bn_momentum': 0.99,
         'max_gt_instances': max_inst,
         'train_steps': ns.steps, 'train_batch_size': ns.batch_size,
         'log_steps': max(10, ns.steps // 20),
