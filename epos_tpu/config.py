@@ -149,8 +149,12 @@ class Config:
   required_ransac_confidence: float = 1.0  # [compat]
   min_triangle_area: float = 0.0          # tau_t: degenerate-sample gate
   use_prosac: bool = False
-  max_model_number_for_pearl: int = 5     # [compat]
-  spatial_coherence_weight: float = 0.1   # [compat]
+  # PEARL re-optimization runs when 1 < instances <= this cap
+  # (pyprogressivex gate; ops/ransac.py pearl_refine).
+  max_model_number_for_pearl: int = 5
+  # Weight of the neighbour-vote spatial-coherence term in the PEARL
+  # assignment step (the Potts energy's smoothness weight).
+  spatial_coherence_weight: float = 0.1
   scaling_from_millimeters: float = 0.1   # [compat]
   max_tanimoto_similarity: float = 0.9    # [compat]
   max_correspondences: Optional[int] = None

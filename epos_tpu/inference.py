@@ -75,7 +75,14 @@ class InferenceEngine:
         use_prosac=cfg.use_prosac,
         min_triangle_area=cfg.min_triangle_area,
         neighbour_px=cfg.neighbour_max_dist,
-        min_inlier_mass=cfg.min_inlier_mass)
+        min_inlier_mass=cfg.min_inlier_mass,
+        # PEARL re-optimization (reference scripts/infer.py:101-111): only
+        # when several instances are in play and the count is within the
+        # reference's PEARL gate.
+        pearl_iters=(2 if 1 < self.max_instances
+                     <= cfg.max_model_number_for_pearl else 0),
+        spatial_weight=cfg.spatial_coherence_weight,
+        grid_w=ow)
 
     def predict_fn(variables, images):
       # Weights as arguments: closure capture embeds them as program

@@ -167,12 +167,106 @@ def _coverage(px_id, flags, npx):
   return jnp.sum(buf)
 
 
+def pearl_refine(out, coord_2d, coord_3d, conf, px_id, valid, K, npx,
+                 inlier_thresh, min_corrs, min_inlier_mass, iters=2,
+                 spatial_weight=0.1, grid_w=0):
+  """PEARL-style joint re-optimization of the accepted instances.
+
+  The greedy proposal loop in fit_instances assigns each correspondence to
+  the FIRST accepted instance that claims it; with overlapping instances an
+  earlier pose can steal boundary points from a later one. Progressive-X
+  fixes this with PEARL (reference scripts/infer.py:101-111: alternating
+  alpha-expansion over the Potts energy + model refitting). TPU-native
+  counterpart: alternate
+    1. assignment — each correspondence takes the label (instance id or
+       outlier) minimizing a truncated-quadratic data cost, minus
+       `spatial_weight` x the fraction of its 8 pixel-grid neighbours
+       voting for that label (one ICM sweep of the same spatial-coherence
+       Potts term the graph cut optimizes; grid_w=0 drops the term);
+    2. refit — weighted Gauss-Newton on each instance's assigned set.
+  Everything is fixed-shape: [M, C] cost matrices, one-hot scatters onto
+  the prediction grid for the neighbour votes.
+
+  Returns (FitResult, labels [C] int32 in [0..M], M = outlier).
+  """
+  M = out.R.shape[0]
+  tau = inlier_thresh
+
+  def data_cost(R, t):
+    e = epnp.reprojection_errors(coord_3d, coord_2d, K, R, t)  # [M, C]
+    return jnp.minimum(e / tau, 1.0) ** 2
+
+  def assign(cost):
+    # cost [M, C]; invalid instances never win; outlier label costs 1
+    # (the truncation value — an inlier of any instance beats it).
+    cost = jnp.where(out.valid[:, None], cost, jnp.inf)
+    # Outlier cost epsilon-below the truncation value: a point at or past
+    # tau under EVERY model ties all model costs at 1.0, and argmin would
+    # hand it to model 0, whose least-squares refit it then corrupts.
+    full = jnp.concatenate(
+        [cost, jnp.full((1, cost.shape[1]), 1.0 - 1e-6)], axis=0)
+    if spatial_weight > 0.0 and grid_w > 0:
+      votes = jnp.zeros((npx, M + 1), jnp.float32)
+      lab0 = jnp.argmin(full, axis=0)
+      onehot = jax.nn.one_hot(lab0, M + 1) * valid[:, None]
+      votes = votes.at[px_id].add(onehot)
+      g = votes.reshape(npx // grid_w, grid_w, M + 1)
+      # 3x3 neighbour sum (minus self) via separable shifts.
+      gp = jnp.pad(g, ((1, 1), (1, 1), (0, 0)))
+      row = gp[:-2] + gp[1:-1] + gp[2:]
+      nb = (row[:, :-2] + row[:, 1:-1] + row[:, 2:]) - g
+      nb = nb.reshape(npx, M + 1)[px_id]                    # [C, M+1]
+      frac = nb / jnp.maximum(jnp.sum(nb, axis=1, keepdims=True), 1e-6)
+      full = full - spatial_weight * frac.T
+    lab = jnp.argmin(full, axis=0)
+    return jnp.where(valid, lab, M)
+
+  def refit(labels, R, t):
+    def one(m, Rm, tm):
+      # The spatial term may hand a geometrically-saturated point (e >=
+      # tau under every model) to a model whose neighbours dominate its
+      # cell — correct for the LABELING, but such a point must not enter
+      # the least-squares refit at full weight (a handful of gross
+      # outliers visibly drags Gauss-Newton). Gate on geometric
+      # inlier-ness wrt the current pose.
+      e_m = epnp.reprojection_errors(coord_3d, coord_2d, K, Rm, tm)
+      w = conf * (labels == m) * valid * (e_m < tau)
+      ok = jnp.sum(w > 0) >= min_corrs
+      R2, t2 = epnp.refine_pose_gn(coord_3d, coord_2d, K, w, Rm, tm,
+                                   iters=2)
+      return jnp.where(ok, R2, Rm), jnp.where(ok, t2, tm)
+    return jax.vmap(one)(jnp.arange(M), R, t)
+
+  def body(_, carry):
+    R, t = carry
+    labels = assign(data_cost(R, t))
+    return refit(labels, R, t)
+
+  R, t = jax.lax.fori_loop(0, iters, body, (out.R, out.t))
+
+  # Final assignment -> per-instance support statistics; instances whose
+  # reassigned support falls below the acceptance floors are dropped
+  # (PEARL's model-rejection step).
+  e = epnp.reprojection_errors(coord_3d, coord_2d, K, R, t)
+  labels = assign(jnp.minimum(e / tau, 1.0) ** 2)
+  inl = (labels[None, :] == jnp.arange(M)[:, None]) & (e < tau)
+  n_in = jnp.sum(inl, axis=1).astype(jnp.int32)
+  score = jnp.sum(inl * conf[None, :], axis=1)
+  cov = jax.vmap(lambda f: _coverage(px_id, f, npx))(inl)
+  keep = out.valid & (n_in >= min_corrs) & (score >= min_inlier_mass)
+  return FitResult(R=R, t=t, quality=jnp.where(keep, cov, 0.0),
+                   score=jnp.where(keep, score, 0.0),
+                   num_inliers=jnp.where(keep, n_in, 0),
+                   valid=keep), labels
+
+
 def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
                   rng, num_hypotheses=400, inlier_thresh=4.0,
                   max_instances=1, num_instances=1,
                   min_quality=0.5, use_prosac=False, refine_iters=3,
                   min_corrs=6, min_triangle_area=0.0, neighbour_px=20.0,
-                  min_inlier_mass=8.0):
+                  min_inlier_mass=8.0, pearl_iters=2, spatial_weight=0.1,
+                  grid_w=0):
   """Fits up to `num_instances` poses of one object.
 
   Args:
@@ -254,11 +348,17 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
     R_b, t_b = R_h[best], t_h[best]
 
     # Local optimization: Gauss-Newton on the weighted reprojection error of
-    # the inlier set, re-estimating inliers between rounds.
-    def refine(_, carry):
+    # the inlier set, re-estimating inliers between rounds with the threshold
+    # annealed tau_r -> tau_r/2: the wide first round captures the basin,
+    # the tight last round keeps far-but-within-tau_r points from biasing
+    # the final pose (plays GC-RANSAC local optimization's role in the
+    # reference's proposal engine, infer.py:470-488).
+    def refine(it, carry):
       R, t = carry
+      frac = it.astype(jnp.float32) / jnp.maximum(refine_iters - 1, 1)
+      thr = inlier_thresh * (1.0 - 0.5 * frac)
       e = epnp.reprojection_errors(coord_3d, coord_2d, K, R, t)
-      w = ((e < inlier_thresh) & avail).astype(jnp.float32) * conf
+      w = ((e < thr) & avail).astype(jnp.float32) * conf
       ok = jnp.sum(w > 0) >= min_corrs
       R2, t2 = epnp.refine_pose_gn(coord_3d, coord_2d, K, w, R, t, iters=2)
       return (jnp.where(ok, R2, R), jnp.where(ok, t2, t))
@@ -271,15 +371,25 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
     cov_in = _coverage(px_id, inliers, npx)
     return R_b, t_b, inliers, score, cov_in
 
+  # Proposal rounds: a rejected round consumes nothing and is retried with
+  # fresh sampling randomness (Progressive-X proposes repeatedly; a single
+  # unlucky minimal-sample draw for an occluded instance should not end the
+  # search). The search stops after `reject_patience` CONSECUTIVE
+  # rejections, when `num_instances` poses are accepted, or at the hard
+  # round budget max_instances + reject_patience.
+  reject_patience = 2
+  round_budget = max_instances + reject_patience
+
   def cond(carry):
-    i, _, _, go = carry
-    return go & (i < max_instances)
+    i, n_acc, _, _, rejects = carry
+    return ((n_acc < jnp.minimum(num_instances, max_instances))
+            & (rejects < reject_patience) & (i < round_budget))
 
   def body(carry):
-    i, consumed, out, _ = carry
+    i, n_acc, consumed, out, rejects = carry
     avail = valid & ~consumed
     enough = jnp.sum(avail) >= min_corrs
-    want = i < num_instances
+    want = n_acc < num_instances
     key = jax.random.fold_in(rng, i)
     R, t, inliers, score, cov_in = fit_one(avail, key)
     n_in = jnp.sum(inliers)
@@ -311,20 +421,28 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
     # Only accepted poses consume their inliers; a rejected round cannot
     # starve later instances of this object.
     consumed = consumed | (inliers & accept)
+    # Accepted poses pack into slot n_acc; a rejected round writes inert
+    # values into the same (still-unused) slot, which a later accept
+    # overwrites.
     out = FitResult(
-        R=out.R.at[i].set(jnp.where(accept, R, jnp.eye(3))),
-        t=out.t.at[i].set(jnp.where(accept, t, 0.0)),
+        R=out.R.at[n_acc].set(jnp.where(accept, R, jnp.eye(3))),
+        t=out.t.at[n_acc].set(jnp.where(accept, t, 0.0)),
         # quality stores the inlier PIXEL COVERAGE of the instance; valid
         # poses of one object are mutually comparable through it.
-        quality=out.quality.at[i].set(jnp.where(accept, cov_in, 0.0)),
-        score=out.score.at[i].set(jnp.where(accept, score, 0.0)),
-        num_inliers=out.num_inliers.at[i].set(
+        quality=out.quality.at[n_acc].set(jnp.where(accept, cov_in, 0.0)),
+        score=out.score.at[n_acc].set(jnp.where(accept, score, 0.0)),
+        num_inliers=out.num_inliers.at[n_acc].set(
             jnp.where(accept, n_in, 0).astype(jnp.int32)),
-        valid=out.valid.at[i].set(accept))
-    # Progressive-X stops when the proposal round yields no acceptable
-    # model; nothing was consumed, so the next round would refit the same
-    # rejected pose.
-    return i + 1, consumed, out, accept
+        valid=out.valid.at[n_acc].set(accept))
+    n_acc = n_acc + accept.astype(jnp.int32)
+    # A round rejected for lack of correspondences (`enough` false) cannot
+    # succeed on retry — fresh sampling randomness does not create points.
+    # Exhaust the patience immediately so empty/disabled objects stop after
+    # one round (fit_all_objects vmaps this loop over objects; every object
+    # pays for the slowest lane's round count).
+    rejects = jnp.where(accept, 0,
+                        jnp.where(enough, rejects + 1, reject_patience))
+    return i + 1, n_acc, consumed, out, rejects
 
   init = FitResult(
       R=jnp.tile(jnp.eye(3)[None], (max_instances, 1, 1)),
@@ -333,10 +451,18 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
       score=jnp.zeros((max_instances,)),
       num_inliers=jnp.zeros((max_instances,), jnp.int32),
       valid=jnp.zeros((max_instances,), bool))
-  _, _, out, _ = jax.lax.while_loop(
+  _, _, _, out, _ = jax.lax.while_loop(
       cond, body,
-      (jnp.asarray(0, jnp.int32), jnp.zeros((C,), bool), init,
-       jnp.asarray(True)))
+      (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+       jnp.zeros((C,), bool), init, jnp.asarray(0, jnp.int32)))
+  # PEARL re-optimization (reference infer.py:101-111) — only meaningful
+  # with several instances in play; the single-instance path already ends
+  # in the annealed local refinement above.
+  if pearl_iters > 0 and max_instances > 1:
+    out, _ = pearl_refine(
+        out, coord_2d, coord_3d, conf, px_id, valid, K, npx,
+        inlier_thresh, min_corrs, min_inlier_mass, iters=pearl_iters,
+        spatial_weight=spatial_weight, grid_w=grid_w)
   # Normalize reported quality to [0, 1]: coverage fraction of the object's
   # full correspondence pixel footprint (the reference's pose_qualities are
   # per-object comparable scores, infer.py:497-503).
@@ -348,7 +474,8 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
 def fit_all_objects(corrs, K, npx, rng, instance_counts, num_hypotheses=400,
                     inlier_thresh=4.0, max_instances=1, min_quality=0.5,
                     use_prosac=False, refine_iters=3, min_triangle_area=0.0,
-                    neighbour_px=20.0, min_inlier_mass=8.0):
+                    neighbour_px=20.0, min_inlier_mass=8.0, pearl_iters=2,
+                    spatial_weight=0.1, grid_w=0):
   """vmap of fit_instances over the object axis of a Correspondences batch.
 
   corrs: epos_tpu.ops.corresp.Correspondences ([O, C, ...] arrays).
@@ -365,7 +492,9 @@ def fit_all_objects(corrs, K, npx, rng, instance_counts, num_hypotheses=400,
         max_instances=max_instances, num_instances=n_inst,
         min_quality=min_quality, use_prosac=use_prosac,
         refine_iters=refine_iters, min_triangle_area=min_triangle_area,
-        neighbour_px=neighbour_px, min_inlier_mass=min_inlier_mass)
+        neighbour_px=neighbour_px, min_inlier_mass=min_inlier_mass,
+        pearl_iters=pearl_iters, spatial_weight=spatial_weight,
+        grid_w=grid_w)
 
   return jax.vmap(per_obj)(
       corrs.coord_2d, corrs.coord_3d, corrs.conf, corrs.px_id, corrs.valid,

@@ -597,3 +597,56 @@ def test_prosac_sampling_recovers_pose():
   assert bool(res.valid[0])
   ang, dt = pose_errors(res.R[0], res.t[0], R, t)
   assert ang < 2.0 and dt < 15.0, (ang, dt)
+
+
+def test_pearl_reassignment_recovers_stolen_points():
+  """PEARL re-optimization (reference scripts/infer.py:101-111): with two
+  noisy overlapping instances, the greedy first-come consumption can leave
+  instance 2 fitted on a depleted set. The PEARL pass (joint assignment +
+  refit) must keep both instances valid and accurate, with the spatial
+  coherence term active on a real pixel grid."""
+  pts1, uv1, R1, t1 = make_corrs(70, seed=60, noise=0.8)
+  pts2, uv2, R2, t2 = make_corrs(70, seed=61, noise=0.8)
+  r = np.random.default_rng(62)
+  n_out = 16
+  pts_all = np.concatenate(
+      [pts1, pts2, r.uniform(-60, 60, (n_out, 3))]).astype(np.float32)
+  uv_all = np.concatenate(
+      [uv1, uv2, r.uniform(0, 640, (n_out, 2))]).astype(np.float32)
+  n = 156
+  grid_w = 16
+  npx = 256  # 16x16 grid: the spatial term's neighbour votes are real.
+  px = r.integers(0, npx, n).astype(np.int32)
+  for pearl_iters in (0, 2):
+    res = ransac.fit_instances(
+        jnp.asarray(uv_all), jnp.asarray(pts_all), jnp.ones(n, jnp.float32),
+        jnp.asarray(px), jnp.ones(n, bool), jnp.asarray(K, jnp.float32),
+        npx=npx, rng=jax.random.PRNGKey(7), num_hypotheses=256,
+        inlier_thresh=4.0, max_instances=2, num_instances=2,
+        min_quality=0.5, pearl_iters=pearl_iters, spatial_weight=0.1,
+        grid_w=grid_w)
+    assert bool(res.valid[0]) and bool(res.valid[1]), pearl_iters
+    errs = []
+    for i in range(2):
+      e1 = pose_errors(res.R[i], res.t[i], R1, t1)
+      e2 = pose_errors(res.R[i], res.t[i], R2, t2)
+      errs.append(min(e1[0], e2[0]))
+    assert max(errs) < 3.0, (pearl_iters, errs)
+
+
+def test_pearl_drops_depleted_phantom():
+  """A third 'instance' accepted off shared noise must be REJECTED by
+  PEARL's final support check once the two real instances reclaim their
+  points (pyprogressivex model-rejection step)."""
+  pts1, uv1, R1, t1 = make_corrs(80, seed=70, noise=0.2)
+  pts2, uv2, R2, t2 = make_corrs(80, seed=71, noise=0.2)
+  pts_all = np.concatenate([pts1, pts2]).astype(np.float32)
+  uv_all = np.concatenate([uv1, uv2]).astype(np.float32)
+  n = 160
+  res = ransac.fit_instances(
+      jnp.asarray(uv_all), jnp.asarray(pts_all), jnp.ones(n, jnp.float32),
+      jnp.arange(n, dtype=jnp.int32), jnp.ones(n, bool),
+      jnp.asarray(K, jnp.float32), npx=256, rng=jax.random.PRNGKey(3),
+      num_hypotheses=256, inlier_thresh=4.0, max_instances=3,
+      num_instances=3, min_quality=0.5, pearl_iters=2)
+  assert int(jnp.sum(res.valid)) == 2
