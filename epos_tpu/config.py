@@ -155,6 +155,12 @@ class Config:
   # Weight of the neighbour-vote spatial-coherence term in the PEARL
   # assignment step (the Potts energy's smoothness weight).
   spatial_coherence_weight: float = 0.1
+  # Final threshold fraction of the annealed local refinement
+  # (ops/ransac.py fit_one): the inlier gate tightens tau_r ->
+  # anneal*tau_r across refine rounds (GC-RANSAC-style local
+  # optimization). 1.0 disables annealing; 0.5 is the tracked-benchmark
+  # default (see ops/ransac.py).
+  refine_anneal: float = 0.5
   scaling_from_millimeters: float = 0.1   # [compat]
   max_tanimoto_similarity: float = 0.9    # [compat]
   max_correspondences: Optional[int] = None

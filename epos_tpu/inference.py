@@ -76,13 +76,16 @@ class InferenceEngine:
         min_triangle_area=cfg.min_triangle_area,
         neighbour_px=cfg.neighbour_max_dist,
         min_inlier_mass=cfg.min_inlier_mass,
-        # PEARL re-optimization (reference scripts/infer.py:101-111): only
-        # when several instances are in play and the count is within the
-        # reference's PEARL gate.
-        pearl_iters=(2 if 1 < self.max_instances
-                     <= cfg.max_model_number_for_pearl else 0),
+        # PEARL re-optimization (reference scripts/infer.py:101-111): the
+        # per-object instance-count gate vs max_model_number_for_pearl is
+        # dynamic inside fit_instances; statically off only when at most
+        # one instance can ever be fitted (or PEARL is disabled).
+        pearl_iters=(2 if (self.max_instances > 1
+                           and cfg.max_model_number_for_pearl > 1) else 0),
+        pearl_max_models=cfg.max_model_number_for_pearl,
         spatial_weight=cfg.spatial_coherence_weight,
-        grid_w=ow)
+        grid_w=ow,
+        refine_anneal=cfg.refine_anneal)
 
     def predict_fn(variables, images):
       # Weights as arguments: closure capture embeds them as program

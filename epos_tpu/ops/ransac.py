@@ -266,7 +266,8 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
                   min_quality=0.5, use_prosac=False, refine_iters=3,
                   min_corrs=6, min_triangle_area=0.0, neighbour_px=20.0,
                   min_inlier_mass=8.0, pearl_iters=2, spatial_weight=0.1,
-                  grid_w=0):
+                  grid_w=0, refine_anneal=0.5, reject_patience=2,
+                  pearl_max_models=5):
   """Fits up to `num_instances` poses of one object.
 
   Args:
@@ -349,14 +350,17 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
 
     # Local optimization: Gauss-Newton on the weighted reprojection error of
     # the inlier set, re-estimating inliers between rounds with the threshold
-    # annealed tau_r -> tau_r/2: the wide first round captures the basin,
-    # the tight last round keeps far-but-within-tau_r points from biasing
-    # the final pose (plays GC-RANSAC local optimization's role in the
-    # reference's proposal engine, infer.py:470-488).
+    # annealed tau_r -> refine_anneal*tau_r: the wide first round captures
+    # the basin; a tighter last round keeps far-but-within-tau_r points from
+    # biasing the final pose (plays GC-RANSAC local optimization's role in
+    # the reference's proposal engine, infer.py:470-488). refine_anneal=1
+    # disables annealing; 0.5 is the default (the setting under which the
+    # tracked synthetic e2e AR was measured — an anneal sweep on CNN
+    # predictions showed the choice is worth <0.01 AR either way).
     def refine(it, carry):
       R, t = carry
       frac = it.astype(jnp.float32) / jnp.maximum(refine_iters - 1, 1)
-      thr = inlier_thresh * (1.0 - 0.5 * frac)
+      thr = inlier_thresh * (1.0 - (1.0 - refine_anneal) * frac)
       e = epnp.reprojection_errors(coord_3d, coord_2d, K, R, t)
       w = ((e < thr) & avail).astype(jnp.float32) * conf
       ok = jnp.sum(w > 0) >= min_corrs
@@ -377,7 +381,6 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
   # search). The search stops after `reject_patience` CONSECUTIVE
   # rejections, when `num_instances` poses are accepted, or at the hard
   # round budget max_instances + reject_patience.
-  reject_patience = 2
   round_budget = max_instances + reject_patience
 
   def cond(carry):
@@ -457,12 +460,19 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
        jnp.zeros((C,), bool), init, jnp.asarray(0, jnp.int32)))
   # PEARL re-optimization (reference infer.py:101-111) — only meaningful
   # with several instances in play; the single-instance path already ends
-  # in the annealed local refinement above.
+  # in the annealed local refinement above. The reference's
+  # max_model_number_for_pearl gate counts ACTUAL instances, not the
+  # static output capacity, so the selection is dynamic: compute the
+  # PEARL result and keep it only where 1 < n_accepted <= pearl_max_models.
   if pearl_iters > 0 and max_instances > 1:
-    out, _ = pearl_refine(
+    pearl_out, _ = pearl_refine(
         out, coord_2d, coord_3d, conf, px_id, valid, K, npx,
         inlier_thresh, min_corrs, min_inlier_mass, iters=pearl_iters,
         spatial_weight=spatial_weight, grid_w=grid_w)
+    n_val = jnp.sum(out.valid)
+    use = (n_val > 1) & (n_val <= pearl_max_models)
+    out = FitResult(*(jnp.where(use, pn, po)
+                      for pn, po in zip(pearl_out, out)))
   # Normalize reported quality to [0, 1]: coverage fraction of the object's
   # full correspondence pixel footprint (the reference's pose_qualities are
   # per-object comparable scores, infer.py:497-503).
@@ -475,7 +485,8 @@ def fit_all_objects(corrs, K, npx, rng, instance_counts, num_hypotheses=400,
                     inlier_thresh=4.0, max_instances=1, min_quality=0.5,
                     use_prosac=False, refine_iters=3, min_triangle_area=0.0,
                     neighbour_px=20.0, min_inlier_mass=8.0, pearl_iters=2,
-                    spatial_weight=0.1, grid_w=0):
+                    spatial_weight=0.1, grid_w=0, refine_anneal=0.5,
+                    pearl_max_models=5):
   """vmap of fit_instances over the object axis of a Correspondences batch.
 
   corrs: epos_tpu.ops.corresp.Correspondences ([O, C, ...] arrays).
@@ -494,7 +505,8 @@ def fit_all_objects(corrs, K, npx, rng, instance_counts, num_hypotheses=400,
         refine_iters=refine_iters, min_triangle_area=min_triangle_area,
         neighbour_px=neighbour_px, min_inlier_mass=min_inlier_mass,
         pearl_iters=pearl_iters, spatial_weight=spatial_weight,
-        grid_w=grid_w)
+        grid_w=grid_w, refine_anneal=refine_anneal,
+        pearl_max_models=pearl_max_models)
 
   return jax.vmap(per_obj)(
       corrs.coord_2d, corrs.coord_3d, corrs.conf, corrs.px_id, corrs.valid,

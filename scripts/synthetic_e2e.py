@@ -54,6 +54,23 @@ def main(args=None):
   ns = p.parse_args(args)
 
   root = os.path.abspath(ns.work_dir)
+  os.makedirs(root, exist_ok=True)
+  # Record the exact invocation: a later --skip_train re-eval MUST use the
+  # same data args (im_width etc.) or it evaluates the checkpoint on a
+  # differently-rendered distribution.
+  args_path = os.path.join(root, 'run_args.json')
+  if ns.skip_train and os.path.exists(args_path):
+    prev = json.load(open(args_path))
+    mismatches = {
+        k: (prev[k], getattr(ns, k)) for k in
+        ('variant', 'num_frags', 'gt_knn_frags', 'instances_per_obj',
+         'im_width') if prev.get(k) != getattr(ns, k)}
+    if mismatches:
+      print(f'FAIL: --skip_train args differ from the recorded training '
+            f'run {mismatches} (see {args_path})', file=sys.stderr)
+      return 2
+  else:
+    json.dump(vars(ns), open(args_path, 'w'), indent=1)
   bop_dir = os.path.join(root, 'bop')
   os.environ['BOP_PATH'] = bop_dir
   os.environ['TF_DATA_PATH'] = os.path.join(root, 'tf_data')
