@@ -45,6 +45,9 @@ def main(args=None):
   p.add_argument('--im_width', type=int, default=160)
   p.add_argument('--batch_size', type=int, default=4)
   p.add_argument('--learning_rate', type=float, default=1e-3)
+  # LR warmup (reference slow_start_step, train_utils.py): deep from-scratch
+  # backbones at b4 can diverge in the first poly-LR steps.
+  p.add_argument('--slow_start_step', type=int, default=0)
   p.add_argument('--min_ar', type=float, default=None,
                  help='Gate on the test-split BOP19 AR.')
   p.add_argument('--min_holdout_ar', type=float, default=None,
@@ -131,6 +134,8 @@ def main(args=None):
         'save_interval_steps': ns.steps,
         'save_summaries_steps': max(10, ns.steps // 10),
         'base_learning_rate': ns.learning_rate,
+        'slow_start_step': ns.slow_start_step,
+        'slow_start_learning_rate': ns.learning_rate / 10.0,
         'gt_cache_dir': os.path.join(root, 'gt_cache'),
         'data_augmentations': {
             'random_adjust_brightness': {'min_delta': -0.1,

@@ -93,11 +93,25 @@ def box_mesh_subdivided(sx=60.0, sy=40.0, sz=30.0, n=6, color_variant=0):
   add_face(-ez, ex, ey)
   pts = np.asarray(pts, np.float64)
   half = np.array([hx, hy, hz])
-  colors = np.clip((pts / half + 1.0) * 127.5, 0, 255).astype(np.uint8)
+  code = np.clip((pts / half + 1.0) * 127.5, 0, 255)
   perms = [(0, 1, 2), (2, 0, 1), (1, 2, 0), (0, 2, 1), (2, 1, 0), (1, 0, 2)]
-  colors = colors[:, perms[color_variant % 6]]
-  if (color_variant // 6) % 2:
-    colors = 255 - colors
+  code = code[:, perms[color_variant % 6]]
+  # Identity hue band (dataset v2): the position code compresses to 7 bits
+  # and each object gets +128 on its OWN dominant channel (variant 0 -> R,
+  # 1 -> B, 2 -> G), so PER-PIXEL object identity is readable everywhere as
+  # a channel-ratio — invariant to the rasterizer's flat shading, which
+  # scales all channels equally (a brightness band is NOT: shade spans
+  # 0.4-1.0, folding a bright object's dark faces onto a dark object's lit
+  # ones). Pure channel-permuted codes left local patches of different
+  # objects look-alike: the round-3 diagnosis measured 25-80% of extracted
+  # correspondences landing on the OTHER object even after 30k steps
+  # (confidently mislabeled — raising tau_a did not help), destroying the
+  # fitted poses. Real BOP objects are visually distinct; the band restores
+  # that property while keeping all three position gradients for
+  # localization.
+  colors = code // 2
+  colors[:, (2 * (color_variant % 3)) % 3] += 128
+  colors = colors.astype(np.uint8)
   return {'pts': pts, 'faces': np.asarray(faces, np.int32),
           'colors': colors}
 
