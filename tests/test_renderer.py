@@ -174,3 +174,21 @@ def test_textured_rendering_native_and_fallback():
     assert rgb[47, 47][0] > 0 and rgb[47, 47][1] > 0, (native, rgb[47, 47])
   # Native and fallback agree everywhere (same sampling rules).
   np.testing.assert_array_equal(outs[True][0], outs[False][0])
+
+
+def test_synthbox_palette_identity_is_shading_invariant():
+  """Dataset-v2 palettes: per-pixel object identity must be a channel-RATIO
+  (dominant channel per object), not a brightness level — the rasterizer's
+  flat shading scales all channels by 0.4-1.0, which folds brightness bands
+  together. The round-3 e2e diagnosis traced the dominant accuracy failure
+  to cross-object correspondence confusion; this guards the property that
+  fixed it."""
+  from tests import synthetic
+  m1 = synthetic.box_mesh_subdivided(55, 55, 25, n=6, color_variant=0)
+  m2 = synthetic.box_mesh_subdivided(70, 45, 25, n=6, color_variant=1)
+  c1 = m1['colors'].astype(int)
+  c2 = m2['colors'].astype(int)
+  # Strict dominance per vertex => strict dominance of every flat-shaded
+  # triangle (vertex average) under any uniform shade factor.
+  assert (c1[:, 0] > np.maximum(c1[:, 1], c1[:, 2])).all()
+  assert (c2[:, 2] > np.maximum(c2[:, 0], c2[:, 1])).all()
