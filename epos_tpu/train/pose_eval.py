@@ -233,7 +233,11 @@ def evaluate_localization(results, gt_per_image, models_pts, diameters,
     for gt in gts:
       gt_by_obj.setdefault(gt['obj_id'], []).append(gt)
     for obj, gts_o in gt_by_obj.items():
-      ests = by_key.get((scene_id, im_id, obj), [])
+      # BOP19 top-n cap (bop_toolkit eval_calc_errors n_top=-1 semantics):
+      # with n GT instances of an object in the image, only the n
+      # highest-score estimates enter the matching — extra submissions
+      # cannot be rescued by a lucky greedy match.
+      ests = by_key.get((scene_id, im_id, obj), [])[:len(gts_o)]
       pts = models_pts[obj]
       # Error matrices [n_gt, n_est] per metric; each metric is matched
       # independently (as bop_toolkit evaluates each error function with
