@@ -85,7 +85,13 @@ class InferenceEngine:
         pearl_max_models=cfg.max_model_number_for_pearl,
         spatial_weight=cfg.spatial_coherence_weight,
         grid_w=ow,
-        refine_anneal=cfg.refine_anneal)
+        refine_anneal=cfg.refine_anneal,
+        # LOCALIZATION's instance counts are exact (GT annotation list,
+        # reference infer.py:462-466): the fitter searches to the count
+        # with absolute floors only and ranking happens at the BOP19
+        # top-n cap; DETECTION keeps the relative in-loop gate. Engine-
+        # level: a per-call task_type override does not rebuild the jits.
+        exact_counts=cfg.task_type == common.LOCALIZATION)
 
     def predict_fn(variables, images):
       # Weights as arguments: closure capture embeds them as program

@@ -267,7 +267,7 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
                   min_corrs=6, min_triangle_area=0.0, neighbour_px=20.0,
                   min_inlier_mass=8.0, pearl_iters=2, spatial_weight=0.1,
                   grid_w=0, refine_anneal=0.5, reject_patience=2,
-                  pearl_max_models=5):
+                  pearl_max_models=5, exact_counts=False):
   """Fits up to `num_instances` poses of one object.
 
   Args:
@@ -419,8 +419,19 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
     # inlier confidence mass of tens-to-hundreds; spurious clusters sit
     # near min_corrs entries at near-threshold confidence.
     abs_ok = score >= min_inlier_mass
-    accept = (enough & want & (quality >= min_quality)
-              & (n_in >= min_corrs) & abs_ok)
+    # With exact per-instance counts (LOCALIZATION: the GT annotation list
+    # gives the true count, reference infer.py:462-466) the relative
+    # quality gate is NOT applied during the search: the reference fits
+    # all and keeps the top-`counts` poses by quality afterwards
+    # (infer.py:497-503), and an under-emitted slot is a guaranteed miss
+    # while a weak extra pose is capped away by BOP19 top-n. The absolute
+    # floors (min_corrs inliers, min_inlier_mass confidence mass) still
+    # apply. In DETECTION the count is only an upper bound, so the
+    # relative gate stays — it is what rejects spurious clusters of
+    # absent objects. Measured on the crowded-scene ablation
+    # (scripts/ablate_fitting.py): k=4 recall 0.31 -> see commit.
+    q_ok = jnp.asarray(True) if exact_counts else (quality >= min_quality)
+    accept = enough & want & q_ok & (n_in >= min_corrs) & abs_ok
     # Only accepted poses consume their inliers; a rejected round cannot
     # starve later instances of this object.
     consumed = consumed | (inliers & accept)
@@ -486,7 +497,7 @@ def fit_all_objects(corrs, K, npx, rng, instance_counts, num_hypotheses=400,
                     use_prosac=False, refine_iters=3, min_triangle_area=0.0,
                     neighbour_px=20.0, min_inlier_mass=8.0, pearl_iters=2,
                     spatial_weight=0.1, grid_w=0, refine_anneal=0.5,
-                    pearl_max_models=5):
+                    pearl_max_models=5, exact_counts=False):
   """vmap of fit_instances over the object axis of a Correspondences batch.
 
   corrs: epos_tpu.ops.corresp.Correspondences ([O, C, ...] arrays).
@@ -506,7 +517,7 @@ def fit_all_objects(corrs, K, npx, rng, instance_counts, num_hypotheses=400,
         neighbour_px=neighbour_px, min_inlier_mass=min_inlier_mass,
         pearl_iters=pearl_iters, spatial_weight=spatial_weight,
         grid_w=grid_w, refine_anneal=refine_anneal,
-        pearl_max_models=pearl_max_models)
+        pearl_max_models=pearl_max_models, exact_counts=exact_counts)
 
   return jax.vmap(per_obj)(
       corrs.coord_2d, corrs.coord_3d, corrs.conf, corrs.px_id, corrs.valid,

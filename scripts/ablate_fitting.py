@@ -57,6 +57,11 @@ def main(args=None):
   p.add_argument('--num_hypotheses', type=int, default=400)
   p.add_argument('--min_quality', type=float, default=0.5)
   p.add_argument('--seed', type=int, default=0)
+  # The ablation models LOCALIZATION (k is the known GT count), where the
+  # engine runs the fitter with exact_counts=True; pass False to measure
+  # the DETECTION-gated variant.
+  p.add_argument('--exact_counts', type=lambda s: s.lower() != 'false',
+                 default=True)
   ns = p.parse_args(args)
 
   # sitecustomize forces the axon TPU platform; this ablation is CPU-sized
@@ -114,20 +119,34 @@ def main(args=None):
       xyz = np.concatenate([xyz, rnd.uniform(lo, hi, (n_out, 3))])
     return uv, xyz, draws
 
-  def fit_own(uv, xyz, k, key):
-    C = len(uv)
-    px = (uv[:, 1].astype(int) // stride) * (w // stride) \
-        + (uv[:, 0].astype(int) // stride)
-    res = ransac.fit_instances(
-        jnp.asarray(uv, jnp.float32), jnp.asarray(xyz, jnp.float32),
-        jnp.ones(C, jnp.float32),
-        jnp.asarray(np.clip(px, 0, (w // stride) * (h // stride) - 1),
-                    jnp.int32),
-        jnp.ones(C, bool), jnp.asarray(K, jnp.float32),
-        npx=(w // stride) * (h // stride), rng=key,
+  # ONE jitted program for every (scene, k): fixed-shape pad to CAP and
+  # pass num_instances/key as dynamic args — eager fit_instances dispatches
+  # op-by-op on the 1-core host and is ~100x slower (CLAUDE.md hazard 3).
+  CAP = 2048
+  npx_s = (w // stride) * (h // stride)
+
+  @jax.jit
+  def _fit_jit(uv, xyz, val, px, k, key):
+    return ransac.fit_instances(
+        uv, xyz, val.astype(jnp.float32), px, val,
+        jnp.asarray(K, jnp.float32), npx=npx_s, rng=key,
         num_hypotheses=ns.num_hypotheses, inlier_thresh=4.0,
         max_instances=ns.max_instances, num_instances=k,
-        min_quality=ns.min_quality)
+        min_quality=ns.min_quality, exact_counts=ns.exact_counts)
+
+  def fit_own(uv, xyz, k, key):
+    n = min(len(uv), CAP)
+    uvp = np.zeros((CAP, 2), np.float32)
+    xyzp = np.zeros((CAP, 3), np.float32)
+    uvp[:n] = uv[:n]
+    xyzp[:n] = xyz[:n]
+    val = np.arange(CAP) < n
+    px = (uvp[:, 1].astype(int) // stride) * (w // stride) \
+        + (uvp[:, 0].astype(int) // stride)
+    res = _fit_jit(
+        jnp.asarray(uvp), jnp.asarray(xyzp), jnp.asarray(val),
+        jnp.asarray(np.clip(px, 0, npx_s - 1), jnp.int32),
+        jnp.asarray(k, jnp.int32), key)
     return [(np.asarray(res.R[i]), np.asarray(res.t[i]))
             for i in range(ns.max_instances) if bool(res.valid[i])]
 
