@@ -28,9 +28,22 @@ import numpy as np
 import yaml
 
 
+# The TRACKED benchmark configuration (round 3): xception_41 at 320x240,
+# 3072 crowded multi-instance train images, 50k steps from scratch. The
+# 'quick' preset is the fast pipeline-debug regime.
+PRESETS = {
+    'tracked': dict(variant='xception_41', steps=50000, train_images=3072,
+                    test_images=64, holdout_images=64, im_width=320,
+                    slow_start_step=1000),
+    'quick': dict(),   # argparse defaults
+}
+
+
 def main(args=None):
   p = argparse.ArgumentParser()
   p.add_argument('--work_dir', required=True)
+  p.add_argument('--preset', choices=sorted(PRESETS), default='quick',
+                 help='Named configuration; explicit flags still override.')
   p.add_argument('--steps', type=int, default=12000)
   p.add_argument('--variant', default='xception_micro')
   p.add_argument('--num_frags', type=int, default=16)
@@ -55,6 +68,13 @@ def main(args=None):
   p.add_argument('--skip_train', action='store_true',
                  help='Evaluate an existing checkpoint in work_dir only.')
   ns = p.parse_args(args)
+  # Preset values apply where the user left the argparse default.
+  defaults = {a.dest: a.default for a in p._actions}
+  explicit = {k for k, v in vars(ns).items()
+              if k in defaults and v != defaults[k]}
+  for k, v in PRESETS[ns.preset].items():
+    if k not in explicit:
+      setattr(ns, k, v)
 
   root = os.path.abspath(ns.work_dir)
   os.makedirs(root, exist_ok=True)
