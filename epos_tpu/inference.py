@@ -189,6 +189,19 @@ class InferenceEngine:
 
     self._jit_full_batch = jax.jit(full_batch, static_argnames=())
 
+  def _check_task_type(self, task_type):
+    """The fitter's acceptance gating (exact_counts) is baked into the
+    jitted programs from cfg.task_type at engine build; running the other
+    mode through them would pair DETECTION's all-objects counts with
+    LOCALIZATION's ungated acceptance (phantom poses) or vice versa.
+    Build a second engine for the other mode instead."""
+    task_type = task_type or self.cfg.task_type
+    if task_type != self.cfg.task_type:
+      raise ValueError(
+          f'engine was built for task_type={self.cfg.task_type!r}; '
+          f'cannot run {task_type!r} (exact_counts gating is compiled in)')
+    return task_type
+
   def process_image(self, sample, task_type=None, rng=None):
     """Estimates poses for one sample (batch of 1).
 
@@ -196,7 +209,7 @@ class InferenceEngine:
     process_image contract (infer.py:348-554).
     """
     cfg = self.cfg
-    task_type = task_type or cfg.task_type
+    task_type = self._check_task_type(task_type)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     run_times = {}
 
@@ -294,7 +307,7 @@ class InferenceEngine:
     running on directly-attached TPUs.
     """
     cfg = self.cfg
-    task_type = task_type or cfg.task_type
+    task_type = self._check_task_type(task_type)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     images = jnp.asarray(batch[common.IMAGE])
     B = images.shape[0]

@@ -37,7 +37,9 @@ def _backbone(variant, output_stride, multi_grid, dtype,
   if variant.startswith('xception'):
     return xception_lib.Xception(
         variant=variant, output_stride=output_stride, multi_grid=multi_grid,
-        bounded=bounded, bn_momentum=bn_momentum or 0.9997, dtype=dtype,
+        bounded=bounded,
+        bn_momentum=0.9997 if bn_momentum is None else bn_momentum,
+        dtype=dtype,
         name=variant)
   if bounded:
     # The reference threads use_bounded_activation only into the xception
@@ -106,7 +108,7 @@ class EposNet(nn.Module):
     # BN trains only when also fine-tuning batch norm (reference:
     # model.py:195, train.py passes fine_tune_batch_norm).
     bn_train = train and self.fine_tune_batch_norm
-    bnm = self.bn_momentum or 0.9997
+    bnm = 0.9997 if self.bn_momentum is None else self.bn_momentum
     x = preprocess_image(images, self.model_variant, self.dtype)
     features, endpoints = _backbone(
         self.model_variant, self.encoder_output_stride, self.multi_grid,

@@ -73,17 +73,27 @@ def vsd_error(renderer, obj_id, K, R_est, t_est, R_gt, t_gt, diameter,
   synthetic evaluation).
   Returns one error per tau.
   """
+  d_est = render_pose_depth(renderer, obj_id, K, R_est, t_est)
+  d_gt = render_pose_depth(renderer, obj_id, K, R_gt, t_gt)
+  return vsd_error_from_depths(d_est, d_gt, diameter, depth_im=depth_im,
+                               delta=delta, tau_fracs=tau_fracs)
+
+
+def render_pose_depth(renderer, obj_id, K, R, t):
+  """One rasterized depth map of the object at a pose — cacheable so a
+  [n_gt, n_est] VSD matrix costs n_gt + n_est renders, not 2*n_gt*n_est
+  (the host has one CPU core; rendering dominated the eval wall-clock)."""
+  renderer.render_object(obj_id, np.asarray(R).flatten(),
+                         np.asarray(t).flatten(),
+                         K[0, 0], K[1, 1], K[0, 2], K[1, 2], want_rgb=False)
+  return renderer.get_depth_image(obj_id).copy()
+
+
+def vsd_error_from_depths(d_est, d_gt, diameter, depth_im=None, delta=15.0,
+                          tau_fracs=None):
+  """VSD from precomputed per-pose depth renders (see vsd_error)."""
   if tau_fracs is None:
     tau_fracs = list(np.arange(0.05, 0.51, 0.05))
-  fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
-  renderer.render_object(obj_id, np.asarray(R_est).flatten(),
-                         np.asarray(t_est).flatten(), fx, fy, cx, cy,
-                         want_rgb=False)
-  d_est = renderer.get_depth_image(obj_id).copy()
-  renderer.render_object(obj_id, np.asarray(R_gt).flatten(),
-                         np.asarray(t_gt).flatten(), fx, fy, cx, cy,
-                         want_rgb=False)
-  d_gt = renderer.get_depth_image(obj_id).copy()
   if depth_im is None:
     depth_im = d_gt
 
@@ -174,6 +184,27 @@ def bop19_average_recall(matches_mssd, matches_mspd, diameters,
   return out
 
 
+def matched_count(err, thr):
+  """bop_toolkit pose_matching.match_poses semantics AT ONE correctness
+  threshold: estimates in score-DESC column order each claim the still-
+  unmatched GT with the smallest error, if that error is below the
+  threshold; the match set is recomputed per threshold (a fixed global
+  min-error assignment can lose a recall point when a high-score
+  estimate's best GT was taken by a lower-score one). err: [n_gt, n_est]
+  with columns in decreasing estimate score."""
+  err = np.asarray(err, np.float64)
+  if err.size == 0:
+    return 0
+  matched = np.zeros(err.shape[0], bool)
+  n = 0
+  for ei in range(err.shape[1]):
+    cand = np.where(~matched & (err[:, ei] < thr))[0]
+    if len(cand):
+      matched[cand[np.argmin(err[cand, ei])]] = True
+      n += 1
+  return n
+
+
 def evaluate_localization(results, gt_per_image, models_pts, diameters,
                           Ks, syms=None, im_widths=None, vsd_renderer=None,
                           depth_ims=None):
@@ -206,9 +237,9 @@ def evaluate_localization(results, gt_per_image, models_pts, diameters,
     v.sort(key=lambda r: -r.get('score', 0.0))
 
   def _greedy_match(err_mat):
-    """Greedy min-error assignment (bop_toolkit pose_matching.match_poses
-    semantics per error function): repeatedly pair the (gt, est) with the
-    smallest error. Returns per-GT matched column or -1."""
+    """Global min-error assignment — DIAGNOSTIC ONLY (per-GT matched-error
+    lists in the output). The reported recalls use matched_count,
+    which implements bop_toolkit's threshold-dependent matching."""
     err = np.array(err_mat, np.float64)
     n_gt, n_est = err.shape
     assign = np.full(n_gt, -1, np.int64)
@@ -221,8 +252,10 @@ def evaluate_localization(results, gt_per_image, models_pts, diameters,
       err[:, ei] = np.inf
     return assign
 
+
   m_mssd, m_mspd, m_adi = [], [], []
   m_vsd = [] if vsd_renderer is not None else None
+  groups = []   # (obj, [n_gt,n_est] err matrices per metric), est score-desc
   for (scene_id, im_id), gts in gt_per_image.items():
     K = Ks[(scene_id, im_id)]
     r_norm = 1.0
@@ -258,12 +291,18 @@ def evaluate_localization(results, gt_per_image, models_pts, diameters,
         for gi in range(len(gts_o)):
           out_list.append(
               (obj, mat[gi][assign[gi]] if assign[gi] >= 0 else np.inf))
+      mat_vsd = None
       if m_vsd is not None:
         depth_im = (depth_ims or {}).get((scene_id, im_id))
-        mat_vsd = [[vsd_error(vsd_renderer, obj, K, e['R'], e['t'],
-                              g['R'], g['t'], diameters[obj],
-                              depth_im=depth_im)
-                    for e in ests] for g in gts_o]
+        # Depth renders cached per pose: n_gt + n_est rasterizations per
+        # group instead of 2 * n_gt * n_est.
+        d_gts = [render_pose_depth(vsd_renderer, obj, K, g['R'], g['t'])
+                 for g in gts_o]
+        d_ests = [render_pose_depth(vsd_renderer, obj, K, e['R'], e['t'])
+                  for e in ests]
+        mat_vsd = [[vsd_error_from_depths(
+            d_e, d_g, diameters[obj], depth_im=depth_im)
+            for d_e in d_ests] for d_g in d_gts]
         if ests:
           assign = _greedy_match(
               [[float(np.mean(v)) for v in row] for row in mat_vsd])
@@ -273,14 +312,44 @@ def evaluate_localization(results, gt_per_image, models_pts, diameters,
           m_vsd.append(
               (obj, mat_vsd[gi][assign[gi]] if assign[gi] >= 0
                else [np.inf] * 10))
-  out = bop19_average_recall(m_mssd, m_mspd, diameters, matches_vsd=m_vsd)
+      groups.append((obj, np.array(mat_mssd, np.float64).reshape(
+          len(gts_o), len(ests)),
+          np.array(mat_mspd, np.float64).reshape(len(gts_o), len(ests)),
+          np.array(mat_adi, np.float64).reshape(len(gts_o), len(ests)),
+          (np.array(mat_vsd, np.float64).reshape(len(gts_o), len(ests), 10)
+           if mat_vsd is not None and ests
+           else np.zeros((len(gts_o), 0, 10))
+           if mat_vsd is not None else None)))
+
+  # Recalls with per-threshold matching over the BOP19 grids.
+  total_gt = sum(g[1].shape[0] for g in groups)
+  fracs = np.arange(0.05, 0.51, 0.05)          # MSSD: fraction of diameter
+  px_grid = np.arange(5, 51, 5)                # MSPD: px at VGA scale
+  rec_mssd = [sum(matched_count(g[1], f * diameters[g[0]])
+                  for g in groups) / max(total_gt, 1) for f in fracs]
+  rec_mspd = [sum(matched_count(g[2], thr) for g in groups)
+              / max(total_gt, 1) for thr in px_grid]
+  out = {'ar_mssd': float(np.mean(rec_mssd)),
+         'ar_mspd': float(np.mean(rec_mspd))}
+  parts = [out['ar_mssd'], out['ar_mspd']]
+  if m_vsd is not None:
+    rec_vsd = []
+    for ti in range(10):                       # tau index
+      for theta in fracs:                      # correctness threshold
+        rec_vsd.append(sum(
+            matched_count(g[4][:, :, ti], theta) if g[4] is not None
+            else 0 for g in groups) / max(total_gt, 1))
+    out['ar_vsd'] = float(np.mean(rec_vsd))
+    parts.append(out['ar_vsd'])
+  out['ar'] = float(np.mean(parts))
   out['matches_mssd'] = m_mssd
   out['matches_mspd'] = m_mspd
   if m_vsd is not None:
     out['matches_vsd'] = m_vsd
   # Classic Hinterstoisser ADI recall at 10% of the diameter — coarser
   # than the BOP grids, useful as a wider-dynamic-range tracking signal.
-  ok = [err < 0.1 * diameters[obj] for obj, err in m_adi]
-  out['adi01_recall'] = float(np.mean(ok)) if ok else 0.0
+  out['adi01_recall'] = float(sum(
+      matched_count(g[3], 0.1 * diameters[g[0]]) for g in groups)
+      / max(total_gt, 1))
   out['matches_adi'] = m_adi
   return out

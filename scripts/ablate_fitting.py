@@ -60,8 +60,9 @@ def main(args=None):
   # The ablation models LOCALIZATION (k is the known GT count), where the
   # engine runs the fitter with exact_counts=True; pass False to measure
   # the DETECTION-gated variant.
-  p.add_argument('--exact_counts', type=lambda s: s.lower() != 'false',
-                 default=True)
+  p.add_argument(
+      '--exact_counts', default=True,
+      type=lambda s: s.lower() not in ('false', '0', 'no', 'off'))
   ns = p.parse_args(args)
 
   # sitecustomize forces the axon TPU platform; this ablation is CPU-sized

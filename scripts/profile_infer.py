@@ -31,16 +31,18 @@ from epos_tpu.ops import corresp as corresp_lib
 from epos_tpu.ops import ransac
 
 
-def timed(fn, inputs, n_warm=1):
-  """Mean seconds per call: pipeline all calls, sync once."""
-  for i in range(n_warm):
-    jax.block_until_ready(fn(*inputs[i % len(inputs)]))
+def timed(fn, inputs):
+  """Mean seconds per call: pipeline all calls, sync once. Warms up on
+  inputs[0] and times only inputs[1:]: the axon runtime can ELIDE a
+  repeated identical execution (CLAUDE.md hazard 1), so the warmed input
+  must not re-enter the timed loop."""
+  jax.block_until_ready(fn(*inputs[0]))
   t0 = time.time()
   out = None
-  for args in inputs:
+  for args in inputs[1:]:
     out = fn(*args)
   jax.block_until_ready(out)
-  return (time.time() - t0) / len(inputs)
+  return (time.time() - t0) / (len(inputs) - 1)
 
 
 def main(args=None):

@@ -68,10 +68,14 @@ def main(args=None):
   p.add_argument('--skip_train', action='store_true',
                  help='Evaluate an existing checkpoint in work_dir only.')
   ns = p.parse_args(args)
-  # Preset values apply where the user left the argparse default.
-  defaults = {a.dest: a.default for a in p._actions}
-  explicit = {k for k, v in vars(ns).items()
-              if k in defaults and v != defaults[k]}
+  # Preset values apply where the flag was not given on the command line.
+  # Presence is detected from the raw argv tokens (every flag here is
+  # --<dest> or --<dest>=...), NOT by comparing to defaults — a flag
+  # explicitly passed AT its default value must still beat the preset.
+  raw = list(args) if args is not None else sys.argv[1:]
+  explicit = {a.dest for a in p._actions
+              if any(t == f'--{a.dest}' or t.startswith(f'--{a.dest}=')
+                     for t in raw)}
   for k, v in PRESETS[ns.preset].items():
     if k not in explicit:
       setattr(ns, k, v)
@@ -193,6 +197,7 @@ def main(args=None):
 
   from epos_tpu.data import bop
   result = {'steps': ns.steps}
+  ar_test = ar_holdout = None
   params_path = os.path.join(model_dir, 'params.yml')
   for split in eval_splits:
     # params.yml wins over CLI flags (reference precedence), so point it at
@@ -226,10 +231,15 @@ def main(args=None):
     print(f'FAIL: test AR {ar_test:.4f} < min_ar {ns.min_ar}',
           file=sys.stderr)
     rc = 1
-  if ns.min_holdout_ar is not None and ar_holdout < ns.min_holdout_ar:
-    print(f'FAIL: holdout AR {ar_holdout:.4f} < min_holdout_ar '
-          f'{ns.min_holdout_ar}', file=sys.stderr)
-    rc = 1
+  if ns.min_holdout_ar is not None:
+    if ar_holdout is None:
+      print('FAIL: --min_holdout_ar given but no holdout split was '
+            'evaluated (pass --holdout_images)', file=sys.stderr)
+      rc = 1
+    elif ar_holdout < ns.min_holdout_ar:
+      print(f'FAIL: holdout AR {ar_holdout:.4f} < min_holdout_ar '
+            f'{ns.min_holdout_ar}', file=sys.stderr)
+      rc = 1
   return rc
 
 

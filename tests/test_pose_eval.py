@@ -92,3 +92,16 @@ def test_average_recall_and_matching():
   assert out['ar_mssd'] == 0.5
   assert out['ar_mspd'] == 0.5
   assert out['ar'] == 0.5
+
+
+def test_matched_count_score_order_beats_fixed_assignment():
+  """bop_toolkit matching is per-threshold and score-ordered: est0 (higher
+  score) takes gt0 at err 0.1, est1 then takes gt1 at err 0.3 — both match
+  at threshold 0.35. A fixed global min-error assignment would pair
+  est1->gt0 (err 0.08) and leave gt1 unmatched (inf), losing one recall."""
+  err = np.array([[0.1, 0.08],     # gt0 vs [est0, est1]
+                  [np.inf, 0.3]])  # gt1
+  assert pose_eval.matched_count(err, 0.35) == 2
+  assert pose_eval.matched_count(err, 0.2) == 1   # only gt0 reachable
+  assert pose_eval.matched_count(err, 0.05) == 0
+  assert pose_eval.matched_count(np.zeros((2, 0)), 0.5) == 0
