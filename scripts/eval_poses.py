@@ -72,19 +72,25 @@ def main(args=None):
     if obj_syms:
       syms[obj_id] = obj_syms
 
-  # GT per image (only images present in the results).
-  keys = sorted({(r['scene_id'], r['im_id']) for r in results})
+  # GT per image: EVERY image of every scene in the split (bop_toolkit
+  # evaluates the full target list — an image the method produced no
+  # estimates for still counts all its GT instances as misses; keying on
+  # the results would silently inflate recall for weak models).
+  split_root = os.path.dirname(
+      os.path.dirname(sp['scene_gt_tpath'].format(scene_id=0)))
+  scene_ids = sorted(
+      int(d) for d in os.listdir(split_root)
+      if d.isdigit() and os.path.isdir(os.path.join(split_root, d)))
   gt_per_image, Ks, im_widths, depth_ims = {}, {}, {}, {}
-  for scene_id in sorted({k[0] for k in keys}):
+  for scene_id in scene_ids:
     gts = bop.load_scene_gt(sp['scene_gt_tpath'].format(scene_id=scene_id))
     cams = bop.load_scene_camera(
         sp['scene_camera_tpath'].format(scene_id=scene_id))
     info_path = sp['scene_gt_info_tpath'].format(scene_id=scene_id)
     infos = (bop.load_json(info_path, keys_to_int=True)
              if os.path.exists(info_path) else {})
-    for (s_id, im_id) in keys:
-      if s_id != scene_id:
-        continue
+    for im_id in sorted(gts):
+      s_id = scene_id
       im_info = infos.get(im_id, [])
       gt_per_image[(s_id, im_id)] = [
           {'obj_id': g['obj_id'], 'R': g['cam_R_m2c'],
