@@ -161,6 +161,10 @@ class Config:
   # optimization). 1.0 disables annealing; 0.5 is the tracked-benchmark
   # default (see ops/ransac.py).
   refine_anneal: float = 0.5
+  # Rounds of the iterated-weighted-EPnP local optimization per accepted
+  # hypothesis (GC-RANSAC LO role; each round re-estimates inliers then
+  # runs 2 Gauss-Newton steps).
+  refine_iters: int = 3
   scaling_from_millimeters: float = 0.1   # [compat]
   max_tanimoto_similarity: float = 0.9    # [compat]
   max_correspondences: Optional[int] = None

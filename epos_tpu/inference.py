@@ -86,6 +86,7 @@ class InferenceEngine:
         spatial_weight=cfg.spatial_coherence_weight,
         grid_w=ow,
         refine_anneal=cfg.refine_anneal,
+        refine_iters=cfg.refine_iters,
         # LOCALIZATION's instance counts are exact (GT annotation list,
         # reference infer.py:462-466): the fitter searches to the count
         # with absolute floors only and ranking happens at the BOP19
