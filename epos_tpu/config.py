@@ -158,13 +158,16 @@ class Config:
   # Final threshold fraction of the annealed local refinement
   # (ops/ransac.py fit_one): the inlier gate tightens tau_r ->
   # anneal*tau_r across refine rounds (GC-RANSAC-style local
-  # optimization). 1.0 disables annealing; 0.5 is the tracked-benchmark
-  # default (see ops/ransac.py).
-  refine_anneal: float = 0.5
+  # optimization). 1.0 (no annealing) is the default: on CNN-predicted
+  # correspondences, whose inlier noise fills the whole tau_r band,
+  # tightening discards real support — measured on the r3c checkpoint
+  # (holdout AR 0.306 at anneal 0.5 vs 0.316 at 1.0, both refine_iters 6).
+  refine_anneal: float = 1.0
   # Rounds of the iterated-weighted-EPnP local optimization per accepted
   # hypothesis (GC-RANSAC LO role; each round re-estimates inliers then
-  # runs 2 Gauss-Newton steps).
-  refine_iters: int = 3
+  # runs 2 Gauss-Newton steps). 6 measured best on CNN predictions
+  # (holdout AR 0.299 at 3 rounds -> 0.316 at 6, anneal 1.0).
+  refine_iters: int = 6
   scaling_from_millimeters: float = 0.1   # [compat]
   max_tanimoto_similarity: float = 0.9    # [compat]
   max_correspondences: Optional[int] = None

@@ -354,9 +354,9 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
     # the basin; a tighter last round keeps far-but-within-tau_r points from
     # biasing the final pose (plays GC-RANSAC local optimization's role in
     # the reference's proposal engine, infer.py:470-488). refine_anneal=1
-    # disables annealing; 0.5 is the default (the setting under which the
-    # tracked synthetic e2e AR was measured — an anneal sweep on CNN
-    # predictions showed the choice is worth <0.01 AR either way).
+    # (no annealing) is the config default: CNN-predicted inlier noise
+    # fills the whole tau_r band, and tightening discards real support
+    # (config.py refine_anneal cites the measured sweep).
     def refine(it, carry):
       R, t = carry
       frac = it.astype(jnp.float32) / jnp.maximum(refine_iters - 1, 1)
