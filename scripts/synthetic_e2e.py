@@ -142,6 +142,11 @@ def main(args=None):
         # classifications then carry TRAINED offsets instead of garbage
         # (the loc loss only supervises labeled fragments, loss.py:232-303).
         'gt_knn_frags': ns.gt_knn_frags,
+        # Snap predicted 3D points to the model surface at inference
+        # (reference --project_to_surface, corresp.py:87-88): removes
+        # off-surface regression noise; measured +0.016 AR / +0.05
+        # ADI@0.1d on the r3c mid-training checkpoint.
+        'project_to_surface': True,
         'train_crop_size': f'{w},{h}', 'infer_crop_size': f'{w},{h}',
         'train_max_height_before_crop': h,
         'infer_max_height_before_crop': h,
