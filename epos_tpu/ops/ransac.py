@@ -263,10 +263,10 @@ def pearl_refine(out, coord_2d, coord_3d, conf, px_id, valid, K, npx,
 def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
                   rng, num_hypotheses=400, inlier_thresh=4.0,
                   max_instances=1, num_instances=1,
-                  min_quality=0.5, use_prosac=False, refine_iters=3,
+                  min_quality=0.5, use_prosac=False, refine_iters=6,
                   min_corrs=6, min_triangle_area=0.0, neighbour_px=20.0,
                   min_inlier_mass=8.0, pearl_iters=2, spatial_weight=0.1,
-                  grid_w=0, refine_anneal=0.5, reject_patience=2,
+                  grid_w=0, refine_anneal=1.0, reject_patience=2,
                   pearl_max_models=5, exact_counts=False):
   """Fits up to `num_instances` poses of one object.
 
@@ -494,9 +494,9 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
 
 def fit_all_objects(corrs, K, npx, rng, instance_counts, num_hypotheses=400,
                     inlier_thresh=4.0, max_instances=1, min_quality=0.5,
-                    use_prosac=False, refine_iters=3, min_triangle_area=0.0,
+                    use_prosac=False, refine_iters=6, min_triangle_area=0.0,
                     neighbour_px=20.0, min_inlier_mass=8.0, pearl_iters=2,
-                    spatial_weight=0.1, grid_w=0, refine_anneal=0.5,
+                    spatial_weight=0.1, grid_w=0, refine_anneal=1.0,
                     pearl_max_models=5, exact_counts=False):
   """vmap of fit_instances over the object axis of a Correspondences batch.
 
