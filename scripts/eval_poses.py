@@ -28,6 +28,68 @@ logging.basicConfig(level=logging.INFO, format='%(asctime)s %(message)s',
 log = logging.getLogger('eval_poses')
 
 
+def load_split_gt(sp, models_pts, dataset, split, bop_path):
+  """GT per image for BOP19 scoring: (gt_per_image, Ks, im_widths, depth_ims).
+
+  bop_toolkit evaluates exactly the target list — an image the method
+  produced no estimates for still counts all its GT instances as misses
+  (keying on the results would silently inflate recall for weak models).
+  Real BOP test splits are scored only on test_targets_bop19.json
+  (untargeted images' GT must NOT count); splits without a targets file
+  (the synthetic sets) are scored on every image of every scene.
+  """
+  split_root = os.path.dirname(
+      os.path.dirname(sp['scene_gt_tpath'].format(scene_id=0)))
+  targets_path = os.path.join(bop_path, dataset, 'test_targets_bop19.json')
+  target_images = None
+  if split == 'test' and os.path.exists(targets_path):
+    target_images = {(t['scene_id'], t['im_id'])
+                     for t in bop.load_json(targets_path)}
+    log.info('Restricting GT to %d targeted images (%s)',
+             len(target_images), targets_path)
+  scene_ids = sorted(
+      int(d) for d in os.listdir(split_root)
+      if d.isdigit() and os.path.isdir(os.path.join(split_root, d)))
+  gt_per_image, Ks, im_widths, depth_ims = {}, {}, {}, {}
+  for scene_id in scene_ids:
+    gts = bop.load_scene_gt(sp['scene_gt_tpath'].format(scene_id=scene_id))
+    cams = bop.load_scene_camera(
+        sp['scene_camera_tpath'].format(scene_id=scene_id))
+    info_path = sp['scene_gt_info_tpath'].format(scene_id=scene_id)
+    infos = (bop.load_json(info_path, keys_to_int=True)
+             if os.path.exists(info_path) else {})
+    for im_id in sorted(gts):
+      s_id = scene_id
+      if target_images is not None and (s_id, im_id) not in target_images:
+        continue
+      im_info = infos.get(im_id, [])
+      gt_per_image[(s_id, im_id)] = [
+          {'obj_id': g['obj_id'], 'R': g['cam_R_m2c'],
+           't': g['cam_t_m2c'].flatten()} for gt_id, g in enumerate(gts[im_id])
+          if g['obj_id'] in models_pts
+          # BOP19 protocol: only GT instances visible from >= 10% count
+          # (bop_toolkit eval_calc_scores visib_gt_min).
+          and (gt_id >= len(im_info)
+               or im_info[gt_id].get('visib_fract', 1.0) >= 0.1)]
+      Ks[(s_id, im_id)] = cams[im_id]['cam_K']
+      # Real scene depth for VSD visibility when the split ships it.
+      d = bop.load_depth(
+          sp['depth_tpath'].format(scene_id=s_id, im_id=im_id),
+          cams[im_id].get('depth_scale', 1.0))
+      if d is not None:
+        depth_ims[(s_id, im_id)] = d
+      # Image width for BOP19's MSPD scale normalization (r = 640/w,
+      # bop_toolkit pose_error.mspd). The actual per-image width (from the
+      # depth map) is exact even for off-center principal points (where the
+      # former 2*cx heuristic is wrong) and for synthetic sets missing from
+      # the _DATASET_IM_SIZE table; fall back to the split's nominal size.
+      if d is not None:
+        im_widths[(s_id, im_id)] = float(d.shape[1])
+      else:
+        im_widths[(s_id, im_id)] = float(sp['im_size'][0])
+  return gt_per_image, Ks, im_widths, depth_ims
+
+
 def main(args=None):
   p = argparse.ArgumentParser()
   p.add_argument('--dataset', required=True)
@@ -72,44 +134,9 @@ def main(args=None):
     if obj_syms:
       syms[obj_id] = obj_syms
 
-  # GT per image: EVERY image of every scene in the split (bop_toolkit
-  # evaluates the full target list — an image the method produced no
-  # estimates for still counts all its GT instances as misses; keying on
-  # the results would silently inflate recall for weak models).
-  split_root = os.path.dirname(
-      os.path.dirname(sp['scene_gt_tpath'].format(scene_id=0)))
-  scene_ids = sorted(
-      int(d) for d in os.listdir(split_root)
-      if d.isdigit() and os.path.isdir(os.path.join(split_root, d)))
-  gt_per_image, Ks, im_widths, depth_ims = {}, {}, {}, {}
-  for scene_id in scene_ids:
-    gts = bop.load_scene_gt(sp['scene_gt_tpath'].format(scene_id=scene_id))
-    cams = bop.load_scene_camera(
-        sp['scene_camera_tpath'].format(scene_id=scene_id))
-    info_path = sp['scene_gt_info_tpath'].format(scene_id=scene_id)
-    infos = (bop.load_json(info_path, keys_to_int=True)
-             if os.path.exists(info_path) else {})
-    for im_id in sorted(gts):
-      s_id = scene_id
-      im_info = infos.get(im_id, [])
-      gt_per_image[(s_id, im_id)] = [
-          {'obj_id': g['obj_id'], 'R': g['cam_R_m2c'],
-           't': g['cam_t_m2c'].flatten()} for gt_id, g in enumerate(gts[im_id])
-          if g['obj_id'] in models_pts
-          # BOP19 protocol: only GT instances visible from >= 10% count
-          # (bop_toolkit eval_calc_scores visib_gt_min).
-          and (gt_id >= len(im_info)
-               or im_info[gt_id].get('visib_fract', 1.0) >= 0.1)]
-      Ks[(s_id, im_id)] = cams[im_id]['cam_K']
-      # Image width for BOP19's MSPD scale normalization (r = 640/w):
-      # principal point ~ w/2 in the BOP datasets and the synthetic sets.
-      im_widths[(s_id, im_id)] = 2.0 * cams[im_id]['cam_K'][0, 2]
-      # Real scene depth for VSD visibility when the split ships it.
-      d = bop.load_depth(
-          sp['depth_tpath'].format(scene_id=s_id, im_id=im_id),
-          cams[im_id].get('depth_scale', 1.0))
-      if d is not None:
-        depth_ims[(s_id, im_id)] = d
+  gt_per_image, Ks, im_widths, depth_ims = load_split_gt(
+      sp, models_pts, dataset=ns.dataset, split=ns.split,
+      bop_path=config_epos.BOP_PATH)
 
   # VSD renderer: eval models at the split's image size (BOP19 AR is the
   # mean over VSD+MSSD+MSPD; reference defers to bop_toolkit, here in-repo).
