@@ -51,11 +51,15 @@ def _backbone(variant, output_stride, multi_grid, dtype,
   if variant.startswith('resnet'):
     return resnet_lib.ResNetV1(
         variant=variant, output_stride=output_stride, multi_grid=multi_grid,
+        bn_momentum=(resnet_lib.BN_MOMENTUM if bn_momentum is None
+                     else bn_momentum),
         dtype=dtype, name=variant)
   if variant == 'mobilenet_v2':
     return mobilenet_lib.MobileNetV2(
         variant=variant, output_stride=output_stride,
         depth_multiplier=depth_multiplier, divisible_by=divisible_by,
+        bn_momentum=(mobilenet_lib.BN_MOMENTUM if bn_momentum is None
+                     else bn_momentum),
         dtype=dtype, name=variant)
   raise ValueError(f'Unsupported model variant: {variant}')
 

@@ -48,24 +48,26 @@ class InvertedResidual(nn.Module):
   stride: int
   rate: int
   dtype: jnp.dtype = jnp.float32
+  bn_momentum: float = BN_MOMENTUM
 
   @nn.compact
   def __call__(self, x, train=False, capture=None, capture_prefix=''):
+    bnm = self.bn_momentum
     c_in = x.shape[-1]
     h = x
     if self.expansion != 1:
       h = ConvBN(c_in * self.expansion, 1, act=False,
-                 bn_momentum=BN_MOMENTUM, bn_epsilon=BN_EPS,
+                 bn_momentum=bnm, bn_epsilon=BN_EPS,
                  dtype=self.dtype, name='expand')(h, train)
       h = jnp.minimum(nn.relu(h), 6.0)
     h = DepthwiseConvBN(kernel_size=3, stride=self.stride, rate=self.rate,
                         use_explicit_padding=False, act=False,
-                        bn_momentum=BN_MOMENTUM, bn_epsilon=BN_EPS,
+                        bn_momentum=bnm, bn_epsilon=BN_EPS,
                         dtype=self.dtype, name='depthwise')(h, train)
     h = jnp.minimum(nn.relu(h), 6.0)
     if capture is not None:
       capture[capture_prefix + 'depthwise_output'] = h
-    h = ConvBN(self.features, 1, act=False, bn_momentum=BN_MOMENTUM,
+    h = ConvBN(self.features, 1, act=False, bn_momentum=bnm,
                bn_epsilon=BN_EPS, dtype=self.dtype, name='project')(h, train)
     if self.stride == 1 and c_in == self.features:
       h = h + x
@@ -79,9 +81,12 @@ class MobileNetV2(nn.Module):
   depth_multiplier: float = 1.0
   divisible_by: Optional[int] = None
   dtype: jnp.dtype = jnp.float32
+  # Overridable BN decay (cfg.bn_momentum); slim default 0.997 otherwise.
+  bn_momentum: float = BN_MOMENTUM
 
   @nn.compact
   def __call__(self, x, train=False):
+    bnm = self.bn_momentum
     div = self.divisible_by
     if div is None:
       div = 8 if self.depth_multiplier == 1.0 else 1
@@ -92,7 +97,7 @@ class MobileNetV2(nn.Module):
 
     endpoints = {}
     # Stem (layer_1): conv 3x3 stride 2, 32 channels.
-    h = ConvBN(depth(32), 3, stride=2, act=False, bn_momentum=BN_MOMENTUM,
+    h = ConvBN(depth(32), 3, stride=2, act=False, bn_momentum=bnm,
                bn_epsilon=BN_EPS, dtype=self.dtype, name='layer_1')(x, train)
     h = jnp.minimum(nn.relu(h), 6.0)
     endpoints['layer_1'] = h
@@ -102,13 +107,15 @@ class MobileNetV2(nn.Module):
       name = f'layer_{i + 2}'
       if self.output_stride and current_stride == self.output_stride:
         h = InvertedResidual(exp, depth(c), 1, rate, dtype=self.dtype,
-                             name=name)(h, train, capture=endpoints,
-                                        capture_prefix=name + '/')
+                             bn_momentum=bnm, name=name)(
+                                 h, train, capture=endpoints,
+                                 capture_prefix=name + '/')
         rate *= stride
       else:
         h = InvertedResidual(exp, depth(c), stride, 1, dtype=self.dtype,
-                             name=name)(h, train, capture=endpoints,
-                                        capture_prefix=name + '/')
+                             bn_momentum=bnm, name=name)(
+                                 h, train, capture=endpoints,
+                                 capture_prefix=name + '/')
         current_stride *= stride
       endpoints[name] = h
 
@@ -116,7 +123,7 @@ class MobileNetV2(nn.Module):
     # 1280-channel features map in the reference's usage).
     c_final = max(1280, depth(1280)) if self.depth_multiplier > 1.0 \
         else depth(1280)
-    h = ConvBN(c_final, 1, act=False, bn_momentum=BN_MOMENTUM,
+    h = ConvBN(c_final, 1, act=False, bn_momentum=bnm,
                bn_epsilon=BN_EPS, dtype=self.dtype, name='layer_19')(h, train)
     h = jnp.minimum(nn.relu(h), 6.0)
     return h, endpoints

@@ -55,9 +55,11 @@ class Bottleneck(nn.Module):
   stride: int
   rate: int
   dtype: jnp.dtype = jnp.float32
+  bn_momentum: float = BN_MOMENTUM
 
   @nn.compact
   def __call__(self, x, train=False, capture=None, capture_prefix=''):
+    bnm = self.bn_momentum
     depth_in = x.shape[-1]
     if self.depth == depth_in:
       # Subsample identity shortcut via strided slice (resnet_utils.subsample).
@@ -65,16 +67,16 @@ class Bottleneck(nn.Module):
           if self.stride > 1 else x
     else:
       shortcut = ConvBN(self.depth, 1, stride=self.stride, act=False,
-                        bn_momentum=BN_MOMENTUM, bn_epsilon=BN_EPS,
+                        bn_momentum=bnm, bn_epsilon=BN_EPS,
                         dtype=self.dtype, name='shortcut')(x, train)
     residual = ConvBN(self.depth_bottleneck, 1, act=True,
-                      bn_momentum=BN_MOMENTUM, bn_epsilon=BN_EPS,
+                      bn_momentum=bnm, bn_epsilon=BN_EPS,
                       dtype=self.dtype, name='conv1')(x, train)
     residual = ConvBN(self.depth_bottleneck, 3, stride=self.stride,
                       rate=self.rate, use_explicit_padding=True, act=True,
-                      bn_momentum=BN_MOMENTUM, bn_epsilon=BN_EPS,
+                      bn_momentum=bnm, bn_epsilon=BN_EPS,
                       dtype=self.dtype, name='conv2')(residual, train)
-    residual = ConvBN(self.depth, 1, act=False, bn_momentum=BN_MOMENTUM,
+    residual = ConvBN(self.depth, 1, act=False, bn_momentum=bnm,
                       bn_epsilon=BN_EPS, dtype=self.dtype,
                       name='conv3')(residual, train)
     if capture is not None:
@@ -88,9 +90,12 @@ class ResNetV1(nn.Module):
   output_stride: int = 8
   multi_grid: Optional[Sequence[int]] = None
   dtype: jnp.dtype = jnp.float32
+  # Overridable BN decay (cfg.bn_momentum); slim default 0.997 otherwise.
+  bn_momentum: float = BN_MOMENTUM
 
   @nn.compact
   def __call__(self, x, train=False):
+    bnm = self.bn_momentum
     mg = tuple(self.multi_grid) if self.multi_grid else (1, 1, 1)
     n_block3 = 23 if '101' in self.variant else 6
     blocks = _resnet_blocks(n_block3, mg)
@@ -100,15 +105,15 @@ class ResNetV1(nn.Module):
     if beta:
       # Three 3x3 root convs (net_resnet_v1_beta.py:106-110).
       x = ConvBN(64, 3, stride=2, use_explicit_padding=True, act=True,
-                 bn_momentum=BN_MOMENTUM, bn_epsilon=BN_EPS, dtype=self.dtype,
+                 bn_momentum=bnm, bn_epsilon=BN_EPS, dtype=self.dtype,
                  name='conv1_1')(x, train)
-      x = ConvBN(64, 3, act=True, bn_momentum=BN_MOMENTUM, bn_epsilon=BN_EPS,
+      x = ConvBN(64, 3, act=True, bn_momentum=bnm, bn_epsilon=BN_EPS,
                  dtype=self.dtype, name='conv1_2')(x, train)
-      x = ConvBN(128, 3, act=True, bn_momentum=BN_MOMENTUM, bn_epsilon=BN_EPS,
+      x = ConvBN(128, 3, act=True, bn_momentum=bnm, bn_epsilon=BN_EPS,
                  dtype=self.dtype, name='conv1_3')(x, train)
     else:
       x = ConvBN(64, 7, stride=2, use_explicit_padding=True, act=True,
-                 bn_momentum=BN_MOMENTUM, bn_epsilon=BN_EPS, dtype=self.dtype,
+                 bn_momentum=bnm, bn_epsilon=BN_EPS, dtype=self.dtype,
                  name='conv1')(x, train)
     # Max pool 3x3 stride 2 SAME (net_resnet_v1_beta.py:190).
     pads = same_pad(3)
@@ -124,14 +129,14 @@ class ResNetV1(nn.Module):
         if target is not None and current_stride == target:
           x = Bottleneck(unit.depth, unit.depth_bottleneck, 1,
                          rate * unit.unit_rate, dtype=self.dtype,
-                         name=prefix[:-1])(
+                         bn_momentum=bnm, name=prefix[:-1])(
                              x, train, capture=endpoints,
                              capture_prefix=prefix)
           rate *= unit.stride
         else:
           x = Bottleneck(unit.depth, unit.depth_bottleneck, unit.stride,
                          unit.unit_rate, dtype=self.dtype,
-                         name=prefix[:-1])(
+                         bn_momentum=bnm, name=prefix[:-1])(
                              x, train, capture=endpoints,
                              capture_prefix=prefix)
           current_stride *= unit.stride

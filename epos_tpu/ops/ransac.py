@@ -267,7 +267,8 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
                   min_corrs=6, min_triangle_area=0.0, neighbour_px=20.0,
                   min_inlier_mass=8.0, pearl_iters=2, spatial_weight=0.1,
                   grid_w=0, refine_anneal=1.0, reject_patience=2,
-                  pearl_max_models=5, exact_counts=False):
+                  pearl_max_models=5, exact_counts=False,
+                  local_sample_frac=0.5):
   """Fits up to `num_instances` poses of one object.
 
   Args:
@@ -277,6 +278,10 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
     num_instances: dynamic int32 — instances to search (LOCALIZATION: count
       of GT annotations of this object, infer.py:462-466).
     max_instances: static capacity of the output.
+    local_sample_frac: static fraction of minimal samples drawn spatially
+      local (Morton window); the rest are global uniform. Higher values
+      favor crowded multi-instance separation, lower values wide-baseline
+      single instances.
 
   Returns FitResult with fixed shapes.
   """
@@ -289,10 +294,10 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
       idx = _sample_minimal_prosac(key, avail_f, conf, num_hypotheses,
                                    min_corrs)
     else:
-      # Half global uniform samples (single wide-baseline instances),
-      # half spatially-local samples (multi-instance separation).
+      # Global uniform samples (single wide-baseline instances) +
+      # spatially-local samples (multi-instance separation).
       k1, k2 = jax.random.split(key)
-      n_loc = num_hypotheses // 2
+      n_loc = int(num_hypotheses * local_sample_frac)
       idx_g = _sample_minimal_uniform(
           k1, avail_f, num_hypotheses - n_loc, min_corrs)
       idx_l = _sample_minimal_local(
@@ -380,8 +385,13 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
   # unlucky minimal-sample draw for an occluded instance should not end the
   # search). The search stops after `reject_patience` CONSECUTIVE
   # rejections, when `num_instances` poses are accepted, or at the hard
-  # round budget max_instances + reject_patience.
-  round_budget = max_instances + reject_patience
+  # round budget. The budget allows every instance slot its full reject
+  # patience: with a total-rounds budget of max_instances + reject_patience,
+  # an interleaved accept/reject sequence (A,R,A,R,...) could exhaust the
+  # budget before n_acc reached num_instances even though consecutive
+  # rejects never hit the patience — under exact_counts an under-emitted
+  # slot is a guaranteed recall miss.
+  round_budget = max_instances * (1 + reject_patience)
 
   def cond(carry):
     i, n_acc, _, _, rejects = carry
@@ -421,10 +431,13 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
     abs_ok = score >= min_inlier_mass
     # With exact per-instance counts (LOCALIZATION: the GT annotation list
     # gives the true count, reference infer.py:462-466) the relative
-    # quality gate is NOT applied during the search: the reference fits
-    # all and keeps the top-`counts` poses by quality afterwards
-    # (infer.py:497-503), and an under-emitted slot is a guaranteed miss
-    # while a weak extra pose is capped away by BOP19 top-n. The absolute
+    # quality gate is NOT applied during the search. This is a deliberate,
+    # ablation-justified DEVIATION from the reference, which passes
+    # min_coverage=min_hypothesis_quality to pyprogressivex unconditionally
+    # even in LOCALIZATION (infer.py:497-503 then keeps the top-`counts`
+    # poses by quality): when the count is known, an under-emitted slot is
+    # a guaranteed miss while a weak extra pose is capped away by BOP19
+    # top-n, so gating during the search only loses recall. The absolute
     # floors (min_corrs inliers, min_inlier_mass confidence mass) still
     # apply. In DETECTION the count is only an upper bound, so the
     # relative gate stays — it is what rejects spurious clusters of
@@ -497,7 +510,8 @@ def fit_all_objects(corrs, K, npx, rng, instance_counts, num_hypotheses=400,
                     use_prosac=False, refine_iters=6, min_triangle_area=0.0,
                     neighbour_px=20.0, min_inlier_mass=8.0, pearl_iters=2,
                     spatial_weight=0.1, grid_w=0, refine_anneal=1.0,
-                    pearl_max_models=5, exact_counts=False):
+                    pearl_max_models=5, exact_counts=False,
+                    local_sample_frac=0.5):
   """vmap of fit_instances over the object axis of a Correspondences batch.
 
   corrs: epos_tpu.ops.corresp.Correspondences ([O, C, ...] arrays).
@@ -517,7 +531,8 @@ def fit_all_objects(corrs, K, npx, rng, instance_counts, num_hypotheses=400,
         neighbour_px=neighbour_px, min_inlier_mass=min_inlier_mass,
         pearl_iters=pearl_iters, spatial_weight=spatial_weight,
         grid_w=grid_w, refine_anneal=refine_anneal,
-        pearl_max_models=pearl_max_models, exact_counts=exact_counts)
+        pearl_max_models=pearl_max_models, exact_counts=exact_counts,
+        local_sample_frac=local_sample_frac)
 
   return jax.vmap(per_obj)(
       corrs.coord_2d, corrs.coord_3d, corrs.conf, corrs.px_id, corrs.valid,

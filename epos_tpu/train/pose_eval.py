@@ -141,49 +141,6 @@ def continuous_syms_to_discrete(axis, n=36):
   return out
 
 
-def bop19_average_recall(matches_mssd, matches_mspd, diameters,
-                         matches_vsd=None):
-  """AR over the BOP19 threshold grids.
-
-  Args:
-    matches_mssd: list of (obj_id, mssd_error) per GT instance, err=inf if
-      unmatched.
-    matches_mspd: list of (obj_id, mspd_error) per GT instance (pixels,
-      already scaled by the image-size normalizer if desired).
-    diameters: {obj_id: diameter_mm}.
-    matches_vsd: optional list of (obj_id, [err per tau]) per GT instance
-      (tau swept over 5%..50% of the diameter, as vsd_error returns).
-  Returns dict with ar_mssd, ar_mspd, ar_vsd (if given), and ar — the BOP19
-  mean over the three errors (two when VSD is unavailable), the leaderboard
-  AR_core quantity (reference infer.py:751-760 output format feeds the same
-  bop_toolkit computation).
-  """
-  rec_mssd = []
-  for thr_frac in np.arange(0.05, 0.51, 0.05):
-    ok = [err < thr_frac * diameters[obj] for obj, err in matches_mssd]
-    rec_mssd.append(np.mean(ok) if ok else 0.0)
-  rec_mspd = []
-  for thr in np.arange(5, 51, 5):
-    ok = [err < thr for obj, err in matches_mspd]
-    rec_mspd.append(np.mean(ok) if ok else 0.0)
-  ar_mssd = float(np.mean(rec_mssd))
-  ar_mspd = float(np.mean(rec_mspd))
-  out = {'ar_mssd': ar_mssd, 'ar_mspd': ar_mspd}
-  parts = [ar_mssd, ar_mspd]
-  if matches_vsd is not None:
-    # BOP19 VSD recall: mean over the (tau, theta) grid — tau indexes the
-    # per-GT error vector, theta in {0.05..0.5} thresholds it.
-    rec_vsd = []
-    for ti in range(10):
-      errs = [(e[ti] if np.ndim(e) else e) for _, e in matches_vsd]
-      for theta in np.arange(0.05, 0.51, 0.05):
-        rec_vsd.append(np.mean([e < theta for e in errs]) if errs else 0.0)
-    out['ar_vsd'] = float(np.mean(rec_vsd))
-    parts.append(out['ar_vsd'])
-  out['ar'] = float(np.mean(parts))
-  return out
-
-
 def matched_count(err, thr):
   """bop_toolkit pose_matching.match_poses semantics AT ONE correctness
   threshold: estimates in score-DESC column order each claim the still-
@@ -211,7 +168,7 @@ def evaluate_localization(results, gt_per_image, models_pts, diameters,
   """Greedy min-error matching of estimates to GT per image (LOCALIZATION
   protocol, bop_toolkit pose_matching semantics): per (scene, im, obj) and
   per error function, (gt, est) pairs are matched smallest-error-first.
-  Returns bop19_average_recall output + per-metric details.
+  Returns AR over the BOP19 threshold grids + per-metric details.
 
   Args:
     results: list of pose dicts (scene_id, im_id, obj_id, R, t, score).
