@@ -23,6 +23,7 @@ Baseline: the reference TF1-GPU pipeline reports ~0.75 s/image end to end
 """
 
 import json
+import os
 import time
 
 import jax
@@ -33,6 +34,7 @@ jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 from epos_tpu import common
+from epos_tpu import inference as inference_lib
 from epos_tpu.config import Config
 from epos_tpu.models import epos_model
 from epos_tpu.ops import corresp as corresp_lib
@@ -106,13 +108,15 @@ def bench_inference(cfg, num_objs, variables, model, images, frag_centers,
         obj_conf[0], frag_conf[0], frag_loc[0], frag_centers, frag_sizes,
         output_scale=0.25, capacity=cfg.max_corrs_per_obj)
 
+  # Production fit configuration (engine parity): spatial-coherence PEARL
+  # with grid_w, refine schedule, exact_counts by task — timed behavior
+  # equals shipped behavior.
+  fit_kw = inference_lib.production_fit_kwargs(
+      cfg, max_instances, ow, task_type=task)
+
   @jax.jit
   def fit(corrs, key):
-    return ransac.fit_all_objects(
-        corrs, K, npx, key, counts,
-        num_hypotheses=cfg.max_fitting_iterations,
-        inlier_thresh=cfg.inlier_thresh, max_instances=max_instances,
-        min_quality=cfg.min_hypothesis_quality)
+    return ransac.fit_all_objects(corrs, K, npx, key, counts, **fit_kw)
 
   def full(images, key):
     return fit(extract(predict(variables, images)), key)
@@ -163,15 +167,14 @@ def bench_batched_inference(cfg, num_objs, variables, model, frag_centers,
     fl = logits[common.PRED_FRAG_LOC].reshape(
         b, h, w, num_objs, num_frags, 3)
 
+    fit_kw = inference_lib.production_fit_kwargs(
+        cfg, 1, ow, task_type=common.LOCALIZATION)
+
     def per_image(obj_i, fc_i, fl_i, key_i):
       corrs = corresp_lib.establish_many_to_many(
           obj_i, fc_i, fl_i, frag_centers, frag_sizes,
           output_scale=0.25, capacity=cfg.max_corrs_per_obj)
-      return ransac.fit_all_objects(
-          corrs, K, npx, key_i, counts,
-          num_hypotheses=cfg.max_fitting_iterations,
-          inlier_thresh=cfg.inlier_thresh, max_instances=1,
-          min_quality=cfg.min_hypothesis_quality)
+      return ransac.fit_all_objects(corrs, K, npx, key_i, counts, **fit_kw)
 
     return jax.vmap(per_image)(obj, fc, fl, jax.random.split(key, b))
 
@@ -252,6 +255,40 @@ def main():
       rng, images[0])
   jax.block_until_ready(variables)
 
+  # Trained weights when available (EPOS_BENCH_CKPT -> Orbax checkpoint dir
+  # of a FLAGSHIP-architecture run): fit-stage refine gating and PEARL
+  # dynamics under trained prediction statistics can differ from random
+  # weights; the JSON records which weights were timed.
+  weights_src = 'random'
+  ckpt_dir = os.environ.get('EPOS_BENCH_CKPT', '')
+  if ckpt_dir and os.path.isdir(ckpt_dir):
+    try:
+      from epos_tpu.train import checkpoints as ckpt_lib
+      step = ckpt_lib.latest_step(ckpt_dir)
+      if step is not None:
+        import orbax.checkpoint as ocp
+        mgr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
+        payload = mgr.restore(step)
+        mgr.close()
+        restored = {'params': payload['params'],
+                    'batch_stats': payload['batch_stats']}
+        # tree_map raises on structure mismatch -> caught below.
+        compat = jax.tree_util.tree_all(jax.tree_util.tree_map(
+            lambda a, b: np.shape(a) == np.shape(b), restored,
+            {'params': variables['params'],
+             'batch_stats': variables['batch_stats']}))
+        if compat:
+          variables = jax.device_put(
+              jax.tree_util.tree_map(jnp.asarray, restored))
+          jax.block_until_ready(variables)
+          weights_src = f'trained:{ckpt_dir}@{step}'
+        else:
+          print(f'# EPOS_BENCH_CKPT shape mismatch, using random '
+                f'weights ({ckpt_dir})', flush=True)
+    except Exception as e:  # Bench must never die on a stale checkpoint.
+      print(f'# EPOS_BENCH_CKPT load failed ({e!r}), using random weights',
+            flush=True)
+
   frag_centers = jnp.asarray(
       r.uniform(-50, 50, (num_objs, num_frags, 3)), jnp.float32)
   frag_sizes = jnp.asarray(
@@ -306,6 +343,7 @@ def main():
           train_flops_b8 / (step_ms_b8 / 1000.0) / peak, 4),
       'device_kind': getattr(jax.devices()[0], 'device_kind', 'unknown'),
       'peak_flops': peak,
+      'weights': weights_src,
   }))
 
 

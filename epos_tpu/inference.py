@@ -24,6 +24,41 @@ from epos_tpu.ops import corresp as corresp_lib
 from epos_tpu.ops import ransac
 
 
+def production_fit_kwargs(cfg, max_instances, ow, task_type=None):
+  """The pose-fitting kwargs the production engine runs with.
+
+  Shared with bench/ablation paths so timed and ablated behavior equals
+  shipped behavior (the spatial-coherence ICM term in particular is active
+  exactly when the engine would run it: grid_w > 0 and PEARL enabled).
+  """
+  task_type = cfg.task_type if task_type is None else task_type
+  return dict(
+      num_hypotheses=cfg.max_fitting_iterations,
+      inlier_thresh=cfg.inlier_thresh,
+      max_instances=max_instances,
+      min_quality=cfg.min_hypothesis_quality,
+      use_prosac=cfg.use_prosac,
+      min_triangle_area=cfg.min_triangle_area,
+      neighbour_px=cfg.neighbour_max_dist,
+      min_inlier_mass=cfg.min_inlier_mass,
+      # PEARL re-optimization (reference scripts/infer.py:101-111): the
+      # per-object instance-count gate vs max_model_number_for_pearl is
+      # dynamic inside fit_instances; statically off only when at most
+      # one instance can ever be fitted (or PEARL is disabled).
+      pearl_iters=(2 if (max_instances > 1
+                         and cfg.max_model_number_for_pearl > 1) else 0),
+      pearl_max_models=cfg.max_model_number_for_pearl,
+      spatial_weight=cfg.spatial_coherence_weight,
+      grid_w=ow,
+      refine_anneal=cfg.refine_anneal,
+      refine_iters=cfg.refine_iters,
+      # LOCALIZATION's instance counts are exact (GT annotation list,
+      # reference infer.py:462-466): the fitter searches to the count
+      # with absolute floors only and ranking happens at the BOP19
+      # top-n cap; DETECTION keeps the relative in-loop gate.
+      exact_counts=task_type == common.LOCALIZATION)
+
+
 class InferenceEngine:
   """Builds and runs the jitted image -> poses path."""
 
@@ -67,32 +102,9 @@ class InferenceEngine:
         else min(cfg.max_corrs_per_obj, cfg.max_correspondences),
         min_obj_conf=cfg.corr_min_obj_conf,
         min_frag_rel_conf=cfg.corr_min_frag_rel_conf)
-    fit_kw = dict(
-        num_hypotheses=cfg.max_fitting_iterations,
-        inlier_thresh=cfg.inlier_thresh,
-        max_instances=self.max_instances,
-        min_quality=cfg.min_hypothesis_quality,
-        use_prosac=cfg.use_prosac,
-        min_triangle_area=cfg.min_triangle_area,
-        neighbour_px=cfg.neighbour_max_dist,
-        min_inlier_mass=cfg.min_inlier_mass,
-        # PEARL re-optimization (reference scripts/infer.py:101-111): the
-        # per-object instance-count gate vs max_model_number_for_pearl is
-        # dynamic inside fit_instances; statically off only when at most
-        # one instance can ever be fitted (or PEARL is disabled).
-        pearl_iters=(2 if (self.max_instances > 1
-                           and cfg.max_model_number_for_pearl > 1) else 0),
-        pearl_max_models=cfg.max_model_number_for_pearl,
-        spatial_weight=cfg.spatial_coherence_weight,
-        grid_w=ow,
-        refine_anneal=cfg.refine_anneal,
-        refine_iters=cfg.refine_iters,
-        # LOCALIZATION's instance counts are exact (GT annotation list,
-        # reference infer.py:462-466): the fitter searches to the count
-        # with absolute floors only and ranking happens at the BOP19
-        # top-n cap; DETECTION keeps the relative in-loop gate. Engine-
-        # level: a per-call task_type override does not rebuild the jits.
-        exact_counts=cfg.task_type == common.LOCALIZATION)
+    # Engine-level: a per-call task_type override does not rebuild the
+    # jits (exact_counts is compiled in, see _check_task_type).
+    fit_kw = production_fit_kwargs(cfg, self.max_instances, ow)
 
     def predict_fn(variables, images):
       # Weights as arguments: closure capture embeds them as program
