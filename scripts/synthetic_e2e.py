@@ -33,10 +33,78 @@ import yaml
 # 'quick' preset is the fast pipeline-debug regime.
 PRESETS = {
     'tracked': dict(variant='xception_41', steps=50000, train_images=3072,
-                    test_images=64, holdout_images=64, im_width=320,
-                    slow_start_step=1000),
+                    test_images=64, holdout_images=64, detection_images=64,
+                    im_width=320, slow_start_step=1000),
     'quick': dict(),   # argparse defaults
 }
+
+
+def _run_detection_eval(ns, model_name, model_dir, params_path, result,
+                        cel, ctr, infer_script, eval_poses_script, bop):
+  """DETECTION-mode pass on the variable-count split (VERDICT r3 #5).
+
+  All objects enabled, counts unknown (upper bound instances_per_obj + 1):
+  reports BOP19 AR plus phantom-pose statistics — estimates for objects
+  with ZERO GT instances in the image, the failure mode LOCALIZATION's
+  known counts can never expose. Optionally sweeps min_inlier_mass to
+  calibrate the absolute acceptance floor on real CNN output.
+  """
+  from epos_tpu import config as config_epos
+
+  split = 'test_detection'
+  cel.main(['--dataset', 'synthbox', '--split', split])
+  ctr.main(['--dataset', 'synthbox', '--split', split,
+            '--output_name', f'synthbox_{split}', '--encode_ext', '.png'])
+
+  # GT instance counts per (scene, im, obj) for phantom accounting.
+  sp = bop.get_split_params(config_epos.BOP_PATH, 'synthbox', split)
+  gt_counts = {}
+  scene_id = 1
+  gts = bop.load_scene_gt(sp['scene_gt_tpath'].format(scene_id=scene_id))
+  for im_id, gt_list in gts.items():
+    for g in gt_list:
+      key = (scene_id, im_id, g['obj_id'])
+      gt_counts[key] = gt_counts.get(key, 0) + 1
+
+  masses = ([None] if not ns.sweep_min_inlier_mass else
+            [float(x) for x in ns.sweep_min_inlier_mass.split(',')])
+  orig_params = yaml.safe_load(open(params_path))
+  try:
+    for mass in masses:
+      params = dict(orig_params)
+      params['infer_tfrecord_names'] = [f'synthbox_{split}']
+      params['task_type'] = 'detection'
+      params['max_instances_to_fit'] = ns.instances_per_obj + 1
+      if mass is not None:
+        params['min_inlier_mass'] = mass
+      yaml.safe_dump(params, open(params_path, 'w'))
+      infer_name = split if mass is None else f'{split}_m{mass:g}'
+      infer_script.main(['--model', model_name, '--infer_name', infer_name])
+      csv_path = os.path.join(model_dir, f'infer_{infer_name}',
+                              'estimated-poses.csv')
+      out = eval_poses_script.main(
+          ['--dataset', 'synthbox', '--split', split, '--results', csv_path])
+      ests = bop.load_bop_results(csv_path)
+      phantoms = sum(
+          1 for e in ests
+          if gt_counts.get((e['scene_id'], e['im_id'], e['obj_id']), 0) == 0)
+      n_gt = len(out['matches_mssd'])
+      matched = round(out['adi01_recall'] * n_gt)
+      tag = '_det' if mass is None else f'_det_m{mass:g}'
+      result.update({
+          f'ar{tag}': round(out['ar'], 4),
+          f'adi01{tag}': round(out['adi01_recall'], 4),
+          f'n_estimates{tag}': len(ests),
+          f'n_gt{tag}': n_gt,
+          f'phantoms{tag}': phantoms,
+          # Fraction of emitted poses that are phantom (absent object).
+          f'phantom_rate{tag}': round(phantoms / max(len(ests), 1), 4),
+          # ADI@0.1d matched poses per emitted pose.
+          f'precision_adi01{tag}': round(matched / max(len(ests), 1), 4),
+      })
+  finally:
+    # Restore the LOCALIZATION configuration for later --skip_train runs.
+    yaml.safe_dump(orig_params, open(params_path, 'w'))
 
 
 def main(args=None):
@@ -54,6 +122,17 @@ def main(args=None):
   # from the same distribution as the training images — separates pipeline
   # correctness from small-data generalization.
   p.add_argument('--holdout_images', type=int, default=0)
+  # DETECTION-mode measurement (VERDICT r3 #5): a split where each object's
+  # per-image instance count is uniform in [0, instances_per_obj] — absent
+  # objects expose phantom poses, which LOCALIZATION's known counts never
+  # can. Inference runs with task_type=detection (all objects enabled,
+  # counts unknown).
+  p.add_argument('--detection_images', type=int, default=0)
+  p.add_argument(
+      '--sweep_min_inlier_mass', default='',
+      help='Comma-separated min_inlier_mass values to sweep on the '
+           'detection split (calibrates the absolute acceptance floor on '
+           'real CNN output; cfg default used when empty).')
   p.add_argument('--instances_per_obj', type=int, default=2)
   p.add_argument('--im_width', type=int, default=160)
   p.add_argument('--batch_size', type=int, default=4)
@@ -129,6 +208,11 @@ def main(args=None):
     synthetic.make_bop_dataset(
         bop_dir, 'synthbox', num_scenes=1,
         ims_per_scene=ns.holdout_images, split='train_holdout', **kw)
+  if ns.detection_images:
+    synthetic.make_bop_dataset(
+        bop_dir, 'synthbox', num_scenes=1,
+        ims_per_scene=ns.detection_images, split='test_detection',
+        instance_count_range=(0, ns.instances_per_obj), **kw)
 
   model_name = 'e2e-synthbox'
   model_dir = os.path.join(config_epos.TF_MODELS_PATH, model_name)
@@ -229,6 +313,10 @@ def main(args=None):
       ar_test = out['ar']
     else:
       ar_holdout = out['ar']
+
+  if ns.detection_images:
+    _run_detection_eval(ns, model_name, model_dir, params_path, result,
+                        cel, ctr, infer_script, eval_poses_script, bop)
 
   print(json.dumps(result))
   rc = 0

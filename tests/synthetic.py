@@ -188,7 +188,7 @@ def make_bop_dataset(root, dataset_name='synthbox', num_scenes=1,
                      ims_per_scene=3, im_size=(160, 120), num_objs=2,
                      split='test', instances_per_obj=1,
                      symmetric_first=False, crowded=False, seed_base=100,
-                     z_range=None):
+                     z_range=None, instance_count_range=None):
   """Creates a miniature BOP-layout dataset on disk with analytic GT.
 
   Returns (dataset_root, split_name). Objects are boxes of different sizes;
@@ -202,6 +202,10 @@ def make_bop_dataset(root, dataset_name='synthbox', num_scenes=1,
     symmetric_first: object 1 is a D4-symmetric square cuboid; its
       symmetries land in models_info.json for symmetry-aware evaluation.
     split: 'test' or 'train' (distinct seeds per split).
+    instance_count_range: optional (lo, hi) — each object's instance count
+      per image is drawn uniformly from [lo, hi] instead of the fixed
+      instances_per_obj; lo=0 yields images with ABSENT objects, the
+      DETECTION-mode regime (unknown counts, phantom-pose exposure).
   """
   import os
   import json
@@ -258,7 +262,11 @@ def make_bop_dataset(root, dataset_name='synthbox', num_scenes=1,
       # z-buffered visibility resolution.
       draws = []
       for obj_id in range(1, num_objs + 1):
-        for inst in range(instances_per_obj):
+        n_inst = instances_per_obj
+        if instance_count_range is not None:
+          lo, hi = instance_count_range
+          n_inst = int(rnd.integers(lo, hi + 1))
+        for inst in range(n_inst):
           q = rnd.normal(size=4)
           q /= np.linalg.norm(q)
           R = geometry.quaternion_matrix(q)

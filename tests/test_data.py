@@ -398,3 +398,32 @@ def test_gt_cache_distinguishes_same_ids_different_gt(synth_bop, tmp_path):
   assert not np.allclose(t1, t2), 'cache served stale GT for shifted scene'
   np.testing.assert_allclose(t2 - t1, np.broadcast_to([25.0, 0, 0], t1.shape),
                              atol=1e-4)
+
+
+def test_detection_split_variable_counts(tmp_path):
+  """instance_count_range draws per-object per-image counts in [lo, hi]:
+  some images must have ABSENT objects (count 0) — the DETECTION-mode
+  phantom-pose regime — and no image may exceed hi instances per object."""
+  import collections
+  import json
+  import os
+  from tests import synthetic
+  synthetic.make_bop_dataset(
+      str(tmp_path), 'synthbox', num_scenes=1, ims_per_scene=12,
+      instances_per_obj=2, instance_count_range=(0, 2))
+  gt_path = os.path.join(str(tmp_path), 'synthbox', 'test', '000001',
+                         'scene_gt.json')
+  gts = json.load(open(gt_path))
+  assert len(gts) == 12
+  saw_absent = False
+  counts_seen = set()
+  for im_id, gt_list in gts.items():
+    per_obj = collections.Counter(g['obj_id'] for g in gt_list)
+    for obj_id in (1, 2):
+      c = per_obj.get(obj_id, 0)
+      counts_seen.add(c)
+      assert 0 <= c <= 2
+      if c == 0:
+        saw_absent = True
+  assert saw_absent, 'expected at least one absent object over 12 images'
+  assert len(counts_seen) > 1, 'counts must actually vary'
