@@ -230,7 +230,44 @@ def bench_train_step(cfg, num_objs, n_steps=12):
   return step_ms, flops
 
 
+def _backend_available(timeout_s=360):
+  """Probes the default JAX backend in a SUBPROCESS with a timeout.
+
+  The axon TPU tunnel can go down for hours; in that state jax.devices()
+  hangs indefinitely and a driver-run bench would time out with no JSON
+  (round-3 BENCH artifact was zeroed exactly this way). The timeout covers
+  the stale-claim expiry (~3-4 min) after an ungraceful kill. CPU/forced
+  platforms pass trivially.
+  """
+  import subprocess
+  import sys
+  code = (
+      "import jax\n"
+      "jax.config.update('jax_compilation_cache_dir',"
+      " '/root/repo/.jax_cache')\n"
+      "import jax.numpy as jnp\n"
+      "print(jax.jit(lambda a: a * 2)(jnp.ones(4))[0])\n")
+  try:
+    proc = subprocess.run([sys.executable, '-c', code],
+                          capture_output=True, timeout=timeout_s)
+    return proc.returncode == 0
+  except subprocess.TimeoutExpired:
+    return False
+
+
 def main():
+  if not _backend_available():
+    # Emit an explicit, parseable artifact rather than hanging/crashing:
+    # the outage is an environment condition, not a framework regression.
+    print(json.dumps({
+        'metric': 'ycbv_e2e_frames_per_sec_640x480_xc65_f64_flagship',
+        'value': None,
+        'unit': 'img/s',
+        'vs_baseline': None,
+        'error': 'JAX default backend unreachable (axon TPU tunnel down?) '
+                 'after a 360s subprocess probe; no measurement taken.',
+    }))
+    return
   num_objs, num_frags = 21, 64
   crop_w, crop_h = 640, 480
   # FLAGSHIP settings: reference defaults (scripts/infer.py:118-120 — 400
