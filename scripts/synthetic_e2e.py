@@ -146,6 +146,10 @@ def main(args=None):
                  help='Gate on the train-distribution holdout AR.')
   p.add_argument('--skip_train', action='store_true',
                  help='Evaluate an existing checkpoint in work_dir only.')
+  p.add_argument('--cpu_only', action='store_true',
+                 help='Force the CPU backend in train AND infer (outage '
+                      'fallback; env JAX_PLATFORMS is overridden by the '
+                      'axon bootstrap, so this must go through cfg).')
   ns = p.parse_args(args)
   # Preset values apply where the flag was not given on the command line.
   # Presence is detected from the raw argv tokens (every flag here is
@@ -249,6 +253,7 @@ def main(args=None):
         'base_learning_rate': ns.learning_rate,
         'slow_start_step': ns.slow_start_step,
         'slow_start_learning_rate': ns.learning_rate / 10.0,
+        'cpu_only': bool(ns.cpu_only),
         'gt_cache_dir': os.path.join(root, 'gt_cache'),
         'data_augmentations': {
             'random_adjust_brightness': {'min_delta': -0.1,

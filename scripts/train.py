@@ -37,6 +37,13 @@ def main(args=None):
   model_dir = cfg.model_dir
   if model_dir is None:
     raise ValueError('--model is required')
+  if cfg.cpu_only:
+    # Same semantics as infer.py --cpu_only (reference infer.py:40-41):
+    # force the CPU backend before any device is claimed. The env var
+    # JAX_PLATFORMS is NOT enough here — the baked axon bootstrap sets the
+    # jax config to 'axon,cpu', and with the tunnel down the axon client
+    # init hangs in C (uninterruptible) at the first backend touch.
+    jax.config.update('jax_platforms', 'cpu')
   os.makedirs(model_dir, exist_ok=True)
 
   # Multi-host: initialize the distributed runtime BEFORE any backend use

@@ -286,7 +286,13 @@ def make_bop_dataset(root, dataset_name='synthbox', num_scenes=1,
                                K[0, 0], K[1, 1], K[0, 2], K[1, 2])
         depths.append(renderer.get_depth_image(obj_id).copy())
         colors.append(renderer.get_color_image(obj_id).copy())
-      depth_stack = np.stack([np.where(d > 0, d, np.inf) for d in depths])
+      if depths:
+        depth_stack = np.stack([np.where(d > 0, d, np.inf) for d in depths])
+      else:
+        # Zero instances in this image (instance_count_range lo=0): an
+        # empty background frame with no GT is a legitimate DETECTION
+        # sample (everything emitted for it is a phantom).
+        depth_stack = np.full((1, h, w), np.inf)
       winner = np.argmin(depth_stack, axis=0)
       any_hit = np.isfinite(depth_stack.min(axis=0))
 
