@@ -462,7 +462,15 @@ def refine_pose_gn(pts3d, uv, K, weights, R, t, iters=5, damping=1e-6):
     L = chol_unrolled(JtJ)
     step = jnp.stack(chol_solve_unrolled(L, [-g[i] for i in range(6)]))
     dR = _rodrigues(step[:3])
-    return dR @ R, mat_small_apply(dR, t) + step[3:]
+    R2, t2 = dR @ R, mat_small_apply(dR, t) + step[3:]
+    # Divergence guard: on degenerate sets (e.g. a mixed multi-instance
+    # pool behind a far-off initialization) the normal equations go
+    # singular and the update explodes to non-finite values, which then
+    # poison every downstream score/argmax with NaN. Keep the previous
+    # iterate instead — callers gate acceptance on inlier support, so a
+    # stuck pose is simply rejected rather than corrupting the round.
+    ok = jnp.isfinite(step).all()
+    return jnp.where(ok, R2, R), jnp.where(ok, t2, t)
 
   return jax.lax.fori_loop(0, iters, body, (R, t))
 

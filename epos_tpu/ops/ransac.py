@@ -335,6 +335,12 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
     gain = jnp.maximum(0.0, 1.0 - (errs / inlier_thresh) ** 2)
     scores = jnp.sum(gain * (conf * avail.astype(jnp.float32))[None, :],
                      axis=1)
+    # A degenerate solve can still emit a non-finite pose -> NaN score;
+    # NaN wins argmax and would poison the round (observed: a crowded
+    # two-instance pool whose deterministic full-set hypothesis diverged
+    # made EVERY round select the NaN and emit nothing). Non-finite
+    # hypotheses must lose, never win.
+    scores = jnp.where(jnp.isfinite(scores), scores, -1.0)
     if min_triangle_area > 0.0:
       # tau_t (reference infer.py:93-95 / pyprogressivex min_triangle_area):
       # degenerate minimal samples — 2D points spanning (almost) no area —

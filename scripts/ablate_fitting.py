@@ -67,6 +67,10 @@ def main(args=None):
   p.add_argument('--local_frac', type=float, default=None,
                  help='Fraction of spatially-local minimal samples '
                       '(default: fitter default).')
+  p.add_argument('--min_inlier_mass', type=float, default=None,
+                 help='Absolute acceptance floor override '
+                      '(default: cfg default).')
+  p.add_argument('--reject_patience', type=int, default=None)
   # The ablation models LOCALIZATION (k is the known GT count), where the
   # engine runs the fitter with exact_counts=True; pass False to measure
   # the DETECTION-gated variant.
@@ -152,6 +156,10 @@ def main(args=None):
     fit_kw['refine_iters'] = ns.refine_iters
   if ns.local_frac is not None:
     fit_kw['local_sample_frac'] = ns.local_frac
+  if ns.min_inlier_mass is not None:
+    fit_kw['min_inlier_mass'] = ns.min_inlier_mass
+  if ns.reject_patience is not None:
+    fit_kw['reject_patience'] = ns.reject_patience
   fit_kw.pop('max_instances')
 
   @jax.jit

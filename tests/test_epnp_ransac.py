@@ -694,3 +694,68 @@ def test_exact_counts_recovers_unequal_instance():
   assert int(np.asarray(res_gated.valid).sum()) == 1, (
       'relative tau_q gate unexpectedly accepted the small instance — '
       'if intended, update this test and the ablation claims')
+
+
+def test_interpenetrating_instances_no_nan_poisoning():
+  """Regression (round 4): on a crowded pool of two interpenetrating
+  same-object instances, the deterministic full-set hypothesis (weighted
+  EPnP over the WHOLE mixed pool + GN) can diverge; its non-finite score
+  then won argmax every round (NaN propagates through max), so the fitter
+  emitted ZERO poses despite both instances having ~40 clean inliers.
+  Guards: refine_pose_gn keeps the last finite iterate, and non-finite
+  hypothesis scores lose. Both instances must be recovered."""
+  r = np.random.default_rng(5)
+  # Two poses of one box-sized cloud, nearly identical z and close xy —
+  # silhouettes interleave like the renderer-made crowded scenes.
+  Ra = geometry.quaternion_matrix(np.array([0.9, 0.1, 0.2, 0.3])
+                                  / np.linalg.norm([0.9, 0.1, 0.2, 0.3]))
+  Rb = geometry.quaternion_matrix(np.array([0.2, 0.8, -0.3, 0.4])
+                                  / np.linalg.norm([0.2, 0.8, -0.3, 0.4]))
+  ta = np.array([-15.0, -50.0, 740.0])
+  tb = np.array([-38.0, -24.0, 730.0])
+  pts_a = r.uniform(-30, 30, (45, 3)) * np.array([1, 1, 0.45])
+  pts_b = r.uniform(-30, 30, (45, 3)) * np.array([1, 1, 0.45])
+  uv_a = np.asarray(geometry.project_pts(pts_a, K, Ra, ta))
+  uv_b = np.asarray(geometry.project_pts(pts_b, K, Rb, tb))
+  n_out = 20
+  pts_o = r.uniform(-30, 30, (n_out, 3))
+  uv_o = r.uniform(200, 450, (n_out, 2))
+  pts = np.concatenate([pts_a, pts_b, pts_o]).astype(np.float32)
+  uv = (np.concatenate([uv_a, uv_b, uv_o])
+        + r.normal(scale=0.5, size=(110, 2))).astype(np.float32)
+  res = ransac.fit_instances(
+      jnp.asarray(uv), jnp.asarray(pts), jnp.ones(110, jnp.float32),
+      jnp.arange(110, dtype=jnp.int32), jnp.ones(110, bool),
+      jnp.asarray(K, jnp.float32), npx=1024, rng=jax.random.PRNGKey(2),
+      num_hypotheses=400, inlier_thresh=4.0, max_instances=2,
+      num_instances=2, min_inlier_mass=6.0, exact_counts=True,
+      pearl_iters=2)
+  assert np.isfinite(np.asarray(res.R)).all()
+  assert np.isfinite(np.asarray(res.t)).all()
+  assert int(np.asarray(res.valid).sum()) == 2, np.asarray(res.valid)
+  # One emitted pose near each GT.
+  errs = []
+  for i in range(2):
+    ea = pose_errors(res.R[i], res.t[i], Ra, ta)
+    eb = pose_errors(res.R[i], res.t[i], Rb, tb)
+    errs.append((ea, eb))
+  got_a = any(e[0][0] < 5 and e[0][1] < 30 for e in errs)
+  got_b = any(e[1][0] < 5 and e[1][1] < 30 for e in errs)
+  assert got_a and got_b, errs
+
+
+def test_refine_pose_gn_stays_finite_on_degenerate_set():
+  """The GN divergence guard: a refinement started far off on a hopeless
+  mixed set must return SOME finite pose (callers reject by support), not
+  NaN (which poisoned round scoring before the guard)."""
+  pts, uv, R, t = make_corrs(60, seed=8, noise=0.3)
+  pts2, uv2, _, _ = make_corrs(60, seed=9, noise=0.3)
+  pts_m = jnp.asarray(np.concatenate([pts, pts2]), jnp.float32)
+  uv_m = jnp.asarray(np.concatenate([uv, uv2]), jnp.float32)
+  w = jnp.ones(120, jnp.float32)
+  R0 = jnp.eye(3)
+  t0 = jnp.asarray([30.0, 29.0, 4250.0])  # far-off init (observed case)
+  R1, t1 = epnp.refine_pose_gn(pts_m, uv_m, jnp.asarray(K, jnp.float32),
+                               w, R0, t0, iters=6)
+  assert bool(jnp.isfinite(R1).all()), np.asarray(R1)
+  assert bool(jnp.isfinite(t1).all()), np.asarray(t1)
