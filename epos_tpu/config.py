@@ -178,6 +178,11 @@ class Config:
   # an instance must reach. Guards DETECTION mode against phantom poses from
   # a handful of spurious tau_a pixels, which the instance-relative tau_q
   # criterion alone would accept (the first instance compares to itself).
+  # Calibrated on real CNN output (ACCURACY_r04.json detection sweep,
+  # 64-image variable-count split): BOP19 AR is flat across mass 2..16
+  # (top-n caps phantoms out of AR) while phantom poses drop 31 -> 8;
+  # 8.0 sits at the knee (11.6% phantom rate). Raise toward 16 for
+  # precision-critical DETECTION (measured: -0.002 AR, phantom rate 6.6%).
   min_inlier_mass: float = 8.0
   # Visualization.
   vis: bool = False

@@ -290,7 +290,12 @@ def main(args=None):
           env=dict(os.environ), check=True)
 
   from epos_tpu.data import bop
-  result = {'steps': ns.steps}
+  from epos_tpu.train import checkpoints as ckpt_lib
+  # The evaluated checkpoint's actual step — NOT ns.steps: with
+  # --skip_train (or an interrupted run) the latest checkpoint can be far
+  # behind the configured schedule, and the artifact must say so.
+  ckpt_step = ckpt_lib.latest_step(os.path.join(model_dir, 'checkpoints'))
+  result = {'steps': ns.steps, 'checkpoint_step': ckpt_step}
   ar_test = ar_holdout = None
   params_path = os.path.join(model_dir, 'params.yml')
   for split in eval_splits:
