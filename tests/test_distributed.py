@@ -15,6 +15,8 @@ import numpy as np
 import pytest
 import yaml
 
+pytestmark = pytest.mark.slow  # multi-minute e2e path
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

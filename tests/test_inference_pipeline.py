@@ -15,6 +15,9 @@ from epos_tpu.data import gt_fields
 from epos_tpu.ops import corresp as corresp_lib
 from epos_tpu.ops import geometry, ransac
 from tests import synthetic
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute e2e path
 
 
 def build_perfect_predictions(s, frag_centers, frag_sizes, num_frags=8):

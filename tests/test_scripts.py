@@ -18,6 +18,8 @@ import scripts.train as train_script
 import scripts.eval as eval_script
 import scripts.infer as infer_script
 
+pytestmark = pytest.mark.slow  # multi-minute e2e path
+
 
 @pytest.fixture(scope='module')
 def workspace(tmp_path_factory):
