@@ -211,6 +211,11 @@ def evaluate_localization(results, gt_per_image, models_pts, diameters,
 
 
   m_mssd, m_mspd, m_adi = [], [], []
+  # Translation-error decomposition of ADI-matched pairs — the round-3
+  # accuracy diagnosis found matched poses carried ~40 mm MEDIAN depth
+  # error (weak PnP depth observability on single-face views) while
+  # lateral error was small; tracking the split keeps that lever visible.
+  m_terr = []  # (obj_id, |dt_z| mm, ||dt_xy|| mm, ||dt|| mm)
   m_vsd = [] if vsd_renderer is not None else None
   groups = []   # (obj, [n_gt,n_est] err matrices per metric), est score-desc
   for (scene_id, im_id), gts in gt_per_image.items():
@@ -248,6 +253,15 @@ def evaluate_localization(results, gt_per_image, models_pts, diameters,
         for gi in range(len(gts_o)):
           out_list.append(
               (obj, mat[gi][assign[gi]] if assign[gi] >= 0 else np.inf))
+        if mat is mat_adi:
+          for gi in range(len(gts_o)):
+            if assign[gi] < 0:
+              continue
+            dt = (np.asarray(ests[assign[gi]]['t']).reshape(3)
+                  - np.asarray(gts_o[gi]['t']).reshape(3))
+            m_terr.append((obj, float(abs(dt[2])),
+                           float(np.hypot(dt[0], dt[1])),
+                           float(np.linalg.norm(dt))))
       mat_vsd = None
       if m_vsd is not None:
         depth_im = (depth_ims or {}).get((scene_id, im_id))
@@ -309,4 +323,5 @@ def evaluate_localization(results, gt_per_image, models_pts, diameters,
       matched_count(g[3], 0.1 * diameters[g[0]]) for g in groups)
       / max(total_gt, 1))
   out['matches_adi'] = m_adi
+  out['matches_terr'] = m_terr
   return out

@@ -160,6 +160,14 @@ def main(args=None):
   log.info('AR_VSD=%s AR_MSSD=%.4f AR_MSPD=%.4f AR=%.4f ADI@0.1d=%.4f',
            ('%.4f' % out['ar_vsd']) if 'ar_vsd' in out else 'n/a',
            out['ar_mssd'], out['ar_mspd'], out['ar'], out['adi01_recall'])
+  if out.get('matches_terr'):
+    # Depth-vs-lateral split of the matched-pose translation error: weak
+    # PnP depth observability shows up as depth >> lateral (round-3
+    # diagnosis, ~40 mm median depth error at holdout AR 0.33).
+    terr = np.array([m[1:] for m in out['matches_terr']])
+    med = np.median(terr, axis=0)
+    log.info('Matched translation error (median over %d): depth=%.1f mm, '
+             'lateral=%.1f mm, norm=%.1f mm', len(terr), *med)
   if ns.output_path:
     with open(ns.output_path, 'w') as f:
       json.dump({k: out[k] for k in

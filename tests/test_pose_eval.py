@@ -94,6 +94,30 @@ def test_average_recall_and_matching():
   assert out['ar'] == 0.5
 
 
+def test_matched_translation_error_decomposition():
+  """matches_terr reports |dt_z| (depth) vs ||dt_xy|| (lateral) of the
+  ADI-matched pair — the round-3 depth-error diagnosis as a tracked
+  output."""
+  pts = box_pts()
+  R = np.eye(3)
+  t_gt = np.array([10.0, 20.0, 400.0])
+  gt_per_image = {(1, 0): [{'obj_id': 1, 'R': R, 't': t_gt}]}
+  K = np.array([[500.0, 0, 320], [0, 500, 240], [0, 0, 1]])
+  results = [{'scene_id': 1, 'im_id': 0, 'obj_id': 1, 'R': R,
+              't': t_gt + np.array([3.0, 4.0, 12.0]), 'score': 1.0}]
+  out = pose_eval.evaluate_localization(
+      results, gt_per_image, {1: pts}, {1: 70.0}, {(1, 0): K})
+  (obj, depth, lateral, norm), = out['matches_terr']
+  assert obj == 1
+  np.testing.assert_allclose(depth, 12.0)
+  np.testing.assert_allclose(lateral, 5.0)
+  np.testing.assert_allclose(norm, 13.0)
+  # An unmatched GT contributes nothing (no estimates for this image).
+  out2 = pose_eval.evaluate_localization(
+      [], gt_per_image, {1: pts}, {1: 70.0}, {(1, 0): K})
+  assert out2['matches_terr'] == []
+
+
 def test_matched_count_score_order_beats_fixed_assignment():
   """bop_toolkit matching is per-threshold and score-ordered: est0 (higher
   score) takes gt0 at err 0.1, est1 then takes gt1 at err 0.3 — both match
