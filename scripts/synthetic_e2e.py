@@ -146,6 +146,9 @@ def main(args=None):
                  help='Gate on the train-distribution holdout AR.')
   p.add_argument('--skip_train', action='store_true',
                  help='Evaluate an existing checkpoint in work_dir only.')
+  p.add_argument('--chunk_steps', type=int, default=10000,
+                 help='Training-restart granularity (axon leak workaround); '
+                      'also the checkpoint/stop granularity of the run.')
   p.add_argument('--cpu_only', action='store_true',
                  help='Force the CPU backend in train AND infer (outage '
                       'fallback; env JAX_PLATFORMS is overridden by the '
@@ -279,7 +282,7 @@ def main(args=None):
   # restarts free.
   import subprocess
   if not ns.skip_train:
-    chunk = 10000
+    chunk = ns.chunk_steps
     done = 0
     while done < ns.steps:
       done = min(ns.steps, done + chunk)
