@@ -230,6 +230,85 @@ def bench_train_step(cfg, num_objs, n_steps=12):
   return step_ms, flops
 
 
+def bench_tracked_run(peak):
+  """Side metric: inference timing of the TRACKED accuracy run's
+  architecture with its TRAINED checkpoint on REAL scene images.
+
+  Fit-stage dynamics — refine gating, PEARL, proposal-round counts in the
+  while_loop — depend on the prediction statistics; random weights (or
+  trained weights on noise images, which predict all-background) do not
+  reproduce them. Self-contained from the run's model dir (params.yml +
+  fragments.pkl + Orbax checkpoint) and the run's rendered test images;
+  silently skipped when no tracked run exists on this machine.
+  """
+  import pickle
+  repo = os.path.dirname(os.path.abspath(__file__))
+  model_dir = os.environ.get(
+      'EPOS_BENCH_TRACKED_DIR',
+      os.path.join(repo, '.e2e_r4', 'tf_models', 'e2e-synthbox'))
+  rgb_dir = os.environ.get(
+      'EPOS_BENCH_TRACKED_RGB',
+      os.path.join(repo, '.e2e_r4', 'bop', 'synthbox', 'test', '000001',
+                   'rgb'))
+  try:
+    params_path = os.path.join(model_dir, 'params.yml')
+    frag_path = os.path.join(model_dir, 'fragments.pkl')
+    ckpt_dir = os.path.join(model_dir, 'checkpoints')
+    if not (os.path.exists(params_path) and os.path.exists(frag_path)
+            and os.path.isdir(rgb_dir)):
+      return {}
+    from epos_tpu.train import checkpoints as ckpt_lib
+    step = ckpt_lib.latest_step(ckpt_dir)
+    if step is None:
+      return {}
+    from epos_tpu.config import Config as _Config
+    cfg = _Config().update_from_yaml(params_path)
+    with open(frag_path, 'rb') as f:
+      frags = pickle.load(f)
+    obj_ids = sorted(frags['frag_centers'])
+    fc = jnp.asarray(
+        np.stack([frags['frag_centers'][i] for i in obj_ids]), jnp.float32)
+    fs = jnp.asarray(
+        np.stack([frags['frag_sizes'][i] for i in obj_ids]), jnp.float32)
+
+    import cv2
+    names = sorted(os.listdir(rgb_dir))[:13]
+    if len(names) < 2:
+      return {}
+    ims = [cv2.cvtColor(cv2.imread(os.path.join(rgb_dir, n)),
+                        cv2.COLOR_BGR2RGB) for n in names]
+    images = jnp.asarray(np.stack(ims)[:, None], jnp.float32)  # [n,1,h,w,3]
+    crop_h, crop_w = ims[0].shape[:2]
+    cfg.infer_crop_size = [crop_w, crop_h]
+
+    num_objs = len(obj_ids)
+    model = epos_model.build_model(cfg, num_objs)
+    import orbax.checkpoint as ocp
+    mgr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
+    payload = mgr.restore(step)
+    mgr.close()
+    variables = jax.device_put({'params': payload['params'],
+                                'batch_stats': payload['batch_stats']})
+    jax.block_until_ready(variables)
+    # The synthetic sets render with f = width (tests/synthetic.py); the
+    # exact K only shifts which pixels become inliers, not the timing
+    # protocol.
+    K = jnp.asarray([[float(crop_w), 0, crop_w / 2.0],
+                     [0, float(crop_w), crop_h / 2.0],
+                     [0, 0, 1]], jnp.float32)
+    img_s, flops = bench_inference(
+        cfg, num_objs, variables, model, images, fc, fs, K,
+        task='localization', max_instances=1)
+    return {'tracked_ckpt_infer_img_s': round(img_s, 3),
+            'tracked_ckpt_infer_mfu': round(img_s * flops / peak, 4),
+            'tracked_ckpt': f'{os.path.basename(model_dir)}@{step} '
+                            f'({cfg.model_variant} f{cfg.num_frags} '
+                            f'{crop_w}x{crop_h}, real test images)'}
+  except Exception as e:  # Bench must never die on tracked-run state.
+    print(f'# tracked-run bench skipped ({e!r})', flush=True)
+    return {}
+
+
 def _backend_available(timeout_s=360):
   """Probes the default JAX backend in a SUBPROCESS with a timeout.
 
@@ -358,6 +437,7 @@ def main():
   step_ms, train_flops = bench_train_step(cfg, num_objs)
   cfg_b8 = cfg.replace(train_batch_size=8)
   step_ms_b8, train_flops_b8 = bench_train_step(cfg_b8, num_objs, n_steps=8)
+  tracked = bench_tracked_run(peak)
 
   baseline_fps = 1.0 / 0.75  # reference ~0.75 s/image (BASELINE.md (b))
   print(json.dumps({
@@ -381,6 +461,7 @@ def main():
       'device_kind': getattr(jax.devices()[0], 'device_kind', 'unknown'),
       'peak_flops': peak,
       'weights': weights_src,
+      **tracked,
   }))
 
 

@@ -25,6 +25,7 @@ jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 from epos_tpu import common
+from epos_tpu import inference as inference_lib
 from epos_tpu.config import Config
 from epos_tpu.models import epos_model
 from epos_tpu.ops import corresp as corresp_lib
@@ -96,13 +97,19 @@ def main(args=None):
         obj[0], fc[0], fl[0], frag_centers, frag_sizes,
         output_scale=0.25, capacity=cfg.max_corrs_per_obj)
 
-  def make_fit(refine_iters=3, num_hypotheses=400):
+  def make_fit(refine_iters=None, num_hypotheses=None):
+    # Production fit configuration (engine parity, VERDICT r3 #8) with
+    # targeted single-knob ablations on top to locate the fit-stage cost.
+    kw = inference_lib.production_fit_kwargs(
+        cfg, 1, ow, task_type=common.LOCALIZATION)
+    if refine_iters is not None:
+      kw['refine_iters'] = refine_iters
+    if num_hypotheses is not None:
+      kw['num_hypotheses'] = num_hypotheses
+
     @jax.jit
     def fit(corrs, key):
-      return ransac.fit_all_objects(
-          corrs, K, npx, key, counts, num_hypotheses=num_hypotheses,
-          inlier_thresh=4.0, max_instances=1, min_quality=0.5,
-          refine_iters=refine_iters)
+      return ransac.fit_all_objects(corrs, K, npx, key, counts, **kw)
     return fit
 
   preds = [predict(variables, im) for im in images]
