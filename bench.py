@@ -12,6 +12,12 @@ the reference's flagship YCB-V config):
 
 Prints ONE JSON line; the primary metric is the flagship LOCALIZATION img/s.
 
+Stall-proof protocol (VERDICT r4 weak #1): every section (flagship, f256,
+train, tracked) runs in its OWN subprocess under a wall-clock budget, and the
+orchestrator prints the MERGED JSON line after every section completes — a
+mid-run axon stall costs one section's numbers, never the whole artifact
+(the last parseable line always carries everything measured so far).
+
 Protocol: N iterations are submitted back-to-back with DISTINCT inputs and
 synchronized once — production serving overlaps dispatch with compute the
 same way; the axon tunnel's per-call sync latency is noise, not device time,
@@ -24,6 +30,8 @@ Baseline: the reference TF1-GPU pipeline reports ~0.75 s/image end to end
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -241,15 +249,20 @@ def bench_tracked_run(peak):
   fragments.pkl + Orbax checkpoint) and the run's rendered test images;
   silently skipped when no tracked run exists on this machine.
   """
+  import glob
   import pickle
   repo = os.path.dirname(os.path.abspath(__file__))
-  model_dir = os.environ.get(
-      'EPOS_BENCH_TRACKED_DIR',
-      os.path.join(repo, '.e2e_r4', 'tf_models', 'e2e-synthbox'))
+  model_dir = os.environ.get('EPOS_BENCH_TRACKED_DIR')
+  if not model_dir:
+    # Newest round's tracked workdir wins.
+    cands = sorted(glob.glob(
+        os.path.join(repo, '.e2e_r*', 'tf_models', 'e2e-synthbox')))
+    model_dir = cands[-1] if cands else os.path.join(
+        repo, '.e2e_r4', 'tf_models', 'e2e-synthbox')
+  work_root = os.path.dirname(os.path.dirname(model_dir))
   rgb_dir = os.environ.get(
       'EPOS_BENCH_TRACKED_RGB',
-      os.path.join(repo, '.e2e_r4', 'bop', 'synthbox', 'test', '000001',
-                   'rgb'))
+      os.path.join(work_root, 'bop', 'synthbox', 'test', '000001', 'rgb'))
   try:
     params_path = os.path.join(model_dir, 'params.yml')
     frag_path = os.path.join(model_dir, 'fragments.pkl')
@@ -266,10 +279,6 @@ def bench_tracked_run(peak):
     with open(frag_path, 'rb') as f:
       frags = pickle.load(f)
     obj_ids = sorted(frags['frag_centers'])
-    fc = jnp.asarray(
-        np.stack([frags['frag_centers'][i] for i in obj_ids]), jnp.float32)
-    fs = jnp.asarray(
-        np.stack([frags['frag_sizes'][i] for i in obj_ids]), jnp.float32)
 
     import cv2
     names = sorted(os.listdir(rgb_dir))[:13]
@@ -281,14 +290,24 @@ def bench_tracked_run(peak):
     crop_h, crop_w = ims[0].shape[:2]
     cfg.infer_crop_size = [crop_w, crop_h]
 
-    num_objs = len(obj_ids)
+    # Row o of the dense fragment arrays is obj_id o+1 over the FULL ID
+    # range (ObjectModelStore.frag_arrays; the model head channels are laid
+    # out the same way) — never positional over sorted keys, which
+    # misaligns for non-contiguous or non-1-based obj_ids.
+    num_objs = max(obj_ids)
+    F = next(iter(frags['frag_centers'].values())).shape[0]
+    fc_np = np.zeros((num_objs, F, 3), np.float32)
+    fs_np = np.ones((num_objs, F), np.float32)
+    for obj_id in obj_ids:
+      fc_np[obj_id - 1] = frags['frag_centers'][obj_id]
+      fs_np[obj_id - 1] = frags['frag_sizes'][obj_id]
+    fc, fs = jnp.asarray(fc_np), jnp.asarray(fs_np)
+
     model = epos_model.build_model(cfg, num_objs)
-    import orbax.checkpoint as ocp
-    mgr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
-    payload = mgr.restore(step)
-    mgr.close()
-    variables = jax.device_put({'params': payload['params'],
-                                'batch_stats': payload['batch_stats']})
+    restored, step = ckpt_lib.restore_params(
+        ckpt_dir, batch_stats_template=True, step=step)
+    variables = jax.device_put({'params': restored['params'],
+                                'batch_stats': restored['batch_stats']})
     jax.block_until_ready(variables)
     # The synthetic sets render with f = width (tests/synthetic.py); the
     # exact K only shifts which pixels become inliers, not the timing
@@ -334,39 +353,37 @@ def _backend_available(timeout_s=360):
     return False
 
 
-def main():
-  if not _backend_available():
-    # Emit an explicit, parseable artifact rather than hanging/crashing:
-    # the outage is an environment condition, not a framework regression.
-    print(json.dumps({
-        'metric': 'ycbv_e2e_frames_per_sec_640x480_xc65_f64_flagship',
-        'value': None,
-        'unit': 'img/s',
-        'vs_baseline': None,
-        'error': 'JAX default backend unreachable (axon TPU tunnel down?) '
-                 'after a 360s subprocess probe; no measurement taken.',
-    }))
-    return
+def _flagship_setup(r, n_iter=24):
+  """Shared flagship configuration: Xception-65 f64, 21 objects, 640x480.
+
+  FLAGSHIP settings: reference defaults (scripts/infer.py:118-120 — 400
+  fitting iterations; config.py max_corrs_per_obj=2048). No weakening.
+  """
   num_objs, num_frags = 21, 64
   crop_w, crop_h = 640, 480
-  # FLAGSHIP settings: reference defaults (scripts/infer.py:118-120 — 400
-  # fitting iterations; config.py max_corrs_per_obj=2048). No weakening.
   cfg = Config(model_variant='xception_65', num_frags=num_frags,
                infer_crop_size=[crop_w, crop_h],
                train_crop_size=[crop_w, crop_h],
                compute_dtype='bfloat16')
   assert cfg.max_fitting_iterations == 400
   assert cfg.max_corrs_per_obj == 2048
+  # Distinct images per iteration: the axon runtime can elide repeated
+  # executions with identical inputs, which would inflate the result.
+  images = jnp.asarray(
+      r.uniform(0, 255, (n_iter, 1, crop_h, crop_w, 3)), jnp.float32)
+  K = jnp.asarray(
+      [[572.4, 0, 325.3], [0, 573.6, 242.0], [0, 0, 1]], jnp.float32)
+  return cfg, num_objs, images, K
 
+
+def section_flagship():
+  """Primary metric: LOCALIZATION img/s, plus DETECTION and batched."""
+  r = np.random.default_rng(0)
+  cfg, num_objs, images, K = _flagship_setup(r)
+  num_frags = cfg.num_frags
   peak = _peak_flops()
   model = epos_model.build_model(cfg, num_objs)
   rng = jax.random.PRNGKey(0)
-  r = np.random.default_rng(0)
-  # Distinct images per iteration: the axon runtime can elide repeated
-  # executions with identical inputs, which would inflate the result.
-  n_iter = 24
-  images = jnp.asarray(
-      r.uniform(0, 255, (n_iter, 1, crop_h, crop_w, 3)), jnp.float32)
   variables = jax.jit(lambda k, im: model.init(k, im, train=False))(
       rng, images[0])
   jax.block_until_ready(variables)
@@ -380,14 +397,9 @@ def main():
   if ckpt_dir and os.path.isdir(ckpt_dir):
     try:
       from epos_tpu.train import checkpoints as ckpt_lib
-      step = ckpt_lib.latest_step(ckpt_dir)
-      if step is not None:
-        import orbax.checkpoint as ocp
-        mgr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
-        payload = mgr.restore(step)
-        mgr.close()
-        restored = {'params': payload['params'],
-                    'batch_stats': payload['batch_stats']}
+      out = ckpt_lib.restore_params(ckpt_dir, batch_stats_template=True)
+      if out is not None:
+        restored, step = out
         # tree_map raises on structure mismatch -> caught below.
         compat = jax.tree_util.tree_all(jax.tree_util.tree_map(
             lambda a, b: np.shape(a) == np.shape(b), restored,
@@ -409,8 +421,6 @@ def main():
       r.uniform(-50, 50, (num_objs, num_frags, 3)), jnp.float32)
   frag_sizes = jnp.asarray(
       r.uniform(10, 40, (num_objs, num_frags)), jnp.float32)
-  K = jnp.asarray(
-      [[572.4, 0, 325.3], [0, 573.6, 242.0], [0, 0, 1]], jnp.float32)
 
   loc_img_s, loc_flops = bench_inference(
       cfg, num_objs, variables, model, images, frag_centers, frag_sizes, K,
@@ -420,9 +430,25 @@ def main():
       K, task='detection', max_instances=4)
   batched_img_s = bench_batched_inference(
       cfg, num_objs, variables, model, frag_centers, frag_sizes, K, batch=8)
+  return {
+      'value': round(loc_img_s, 3),
+      'infer_flops_per_img': loc_flops,
+      'infer_mfu': round(loc_img_s * loc_flops / peak, 4),
+      'detection_multi_instance_img_s': round(det_img_s, 3),
+      'batched8_img_s': round(batched_img_s, 3),
+      'device_kind': getattr(jax.devices()[0], 'device_kind', 'unknown'),
+      'peak_flops': peak,
+      'weights': weights_src,
+  }
 
-  # Stretch config (README table): f256 heads, 30 objects (T-LESS-scale) —
-  # the Pallas fused-extraction regime (BASELINE.md config #5 stretch).
+
+def section_f256():
+  """Stretch config (README table): f256 heads, 30 objects (T-LESS-scale) —
+  the Pallas fused-extraction regime (BASELINE.md config #5 stretch)."""
+  r = np.random.default_rng(0)
+  cfg, _, images, K = _flagship_setup(r, n_iter=12)
+  peak = _peak_flops()
+  rng = jax.random.PRNGKey(0)
   n256, f256 = 30, 256
   cfg256 = cfg.replace(num_frags=f256)
   model256 = epos_model.build_model(cfg256, n256)
@@ -432,37 +458,116 @@ def main():
   fc256 = jnp.asarray(r.uniform(-50, 50, (n256, f256, 3)), jnp.float32)
   fs256 = jnp.asarray(r.uniform(10, 40, (n256, f256)), jnp.float32)
   f256_img_s, f256_flops = bench_inference(
-      cfg256, n256, variables256, model256, images[:12], fc256, fs256, K,
+      cfg256, n256, variables256, model256, images, fc256, fs256, K,
       task='localization', max_instances=1, use_pallas=True)
-  step_ms, train_flops = bench_train_step(cfg, num_objs)
-  cfg_b8 = cfg.replace(train_batch_size=8)
-  step_ms_b8, train_flops_b8 = bench_train_step(cfg_b8, num_objs, n_steps=8)
-  tracked = bench_tracked_run(peak)
-
-  baseline_fps = 1.0 / 0.75  # reference ~0.75 s/image (BASELINE.md (b))
-  print(json.dumps({
-      'metric': 'ycbv_e2e_frames_per_sec_640x480_xc65_f64_flagship',
-      'value': round(loc_img_s, 3),
-      'unit': 'img/s',
-      'vs_baseline': round(loc_img_s / baseline_fps, 2),
-      'infer_flops_per_img': loc_flops,
-      'infer_mfu': round(loc_img_s * loc_flops / peak, 4),
-      'detection_multi_instance_img_s': round(det_img_s, 3),
-      'batched8_img_s': round(batched_img_s, 3),
+  return {
       'f256_30obj_img_s': round(f256_img_s, 3),
       'f256_30obj_ms_per_img': round(1000.0 / f256_img_s, 1),
       'f256_infer_mfu': round(f256_img_s * f256_flops / peak, 4),
+  }
+
+
+def section_train():
+  """Training-step time at batch 1 and 8 (BASELINE.md config #5)."""
+  r = np.random.default_rng(0)
+  cfg, num_objs, _, _ = _flagship_setup(r, n_iter=1)
+  peak = _peak_flops()
+  step_ms, train_flops = bench_train_step(cfg, num_objs)
+  cfg_b8 = cfg.replace(train_batch_size=8)
+  step_ms_b8, train_flops_b8 = bench_train_step(cfg_b8, num_objs, n_steps=8)
+  return {
       'train_step_ms': round(step_ms, 2),
       'train_flops_per_step': train_flops,
       'train_mfu': round(train_flops / (step_ms / 1000.0) / peak, 4),
       'train_b8_step_ms': round(step_ms_b8, 2),
       'train_b8_mfu': round(
           train_flops_b8 / (step_ms_b8 / 1000.0) / peak, 4),
-      'device_kind': getattr(jax.devices()[0], 'device_kind', 'unknown'),
-      'peak_flops': peak,
-      'weights': weights_src,
-      **tracked,
-  }))
+  }
+
+
+def section_tracked():
+  return bench_tracked_run(_peak_flops())
+
+
+SECTIONS = [
+    # (name, wall-clock budget in seconds)
+    ('flagship', 2100),
+    ('f256', 1200),
+    ('train', 1200),
+    ('tracked', 1200),
+]
+_SECTION_FNS = {'flagship': section_flagship, 'f256': section_f256,
+                'train': section_train, 'tracked': section_tracked}
+
+
+def _run_section_subprocess(name, budget):
+  """Runs `bench.py --section name` under a budget; returns (dict|None, err).
+
+  Timeout kills are graceful first (SIGTERM, then SIGKILL after 60 s):
+  SIGKILL mid-TPU-operation can wedge the axon tunnel for every process.
+  """
+  proc = subprocess.Popen(
+      [sys.executable, os.path.abspath(__file__), '--section', name],
+      stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+  try:
+    out, _ = proc.communicate(timeout=budget)
+  except subprocess.TimeoutExpired:
+    proc.terminate()
+    try:
+      out, _ = proc.communicate(timeout=60)
+    except subprocess.TimeoutExpired:
+      proc.kill()
+      out, _ = proc.communicate()
+    return None, f'timeout after {budget}s'
+  for line in reversed((out or '').splitlines()):
+    if line.startswith('{'):
+      try:
+        return json.loads(line), None
+      except ValueError:
+        pass
+  tail = (out or '').strip().splitlines()[-3:]
+  return None, f'rc={proc.returncode}: {" | ".join(tail)[:300]}'
+
+
+def main():
+  if len(sys.argv) > 2 and sys.argv[1] == '--section':
+    # Child mode: measure one section, print its JSON fragment.
+    print(json.dumps(_SECTION_FNS[sys.argv[2]]()), flush=True)
+    return
+
+  merged = {
+      'metric': 'ycbv_e2e_frames_per_sec_640x480_xc65_f64_flagship',
+      'value': None,
+      'unit': 'img/s',
+      'vs_baseline': None,
+  }
+  baseline_fps = 1.0 / 0.75  # reference ~0.75 s/image (BASELINE.md (b))
+  if not _backend_available():
+    # Emit an explicit, parseable artifact rather than hanging/crashing:
+    # the outage is an environment condition, not a framework regression.
+    merged['error'] = (
+        'JAX default backend unreachable (axon TPU tunnel down?) after a '
+        '360s subprocess probe; no measurement taken.')
+    print(json.dumps(merged))
+    return
+
+  consecutive_timeouts = 0
+  for name, budget in SECTIONS:
+    if consecutive_timeouts >= 2:
+      merged[f'error_{name}'] = 'skipped after 2 consecutive timeouts'
+      continue
+    result, err = _run_section_subprocess(name, budget)
+    if result is None:
+      merged[f'error_{name}'] = err
+      consecutive_timeouts += 1 if 'timeout' in err else 0
+    else:
+      consecutive_timeouts = 0
+      merged.update(result)
+      if merged.get('value'):
+        merged['vs_baseline'] = round(merged['value'] / baseline_fps, 2)
+    # Incremental emission: the LAST parseable line always carries every
+    # section measured so far, even if a later section stalls out.
+    print(json.dumps(merged), flush=True)
 
 
 if __name__ == '__main__':

@@ -21,10 +21,19 @@ class DataLoader:
 
   def __init__(self, dataset, batch_size, shuffle=False, repeat=False,
                num_workers=1, seed=0, prefetch=4, files=None,
-               shard_index=0, num_shards=1):
+               shard_index=0, num_shards=1, start_sample=0):
     """shard_index/num_shards: multi-process input sharding — each process
     reads a disjoint 1/num_shards slice of every epoch's (shared-seed)
-    permutation, so hosts never feed duplicate examples."""
+    permutation, so hosts never feed duplicate examples.
+
+    start_sample: number of this shard's samples already consumed by a
+    previous (checkpointed) run. The stream resumes exactly where an
+    uninterrupted run would be: whole epochs are skipped by drawing (and
+    discarding) their permutations, then the partial epoch is fast-
+    forwarded — the reference's shuffle state likewise advances for the
+    whole session across its training loop (epos_lib/datagen.py:674-705).
+    Restarting a chunked run therefore continues the permutation stream
+    instead of replaying the first chunk's batches."""
     self.dataset = dataset
     self.batch_size = batch_size
     self.shuffle = shuffle
@@ -35,6 +44,7 @@ class DataLoader:
     self.files = files if files is not None else dataset.record_files()
     self.shard_index = shard_index
     self.num_shards = max(1, num_shards)
+    self.start_sample = int(start_sample)
 
   def _record_iter(self):
     """Yields raw example bytes; index-based GLOBAL shuffle per epoch.
@@ -52,6 +62,9 @@ class DataLoader:
         handles[path] = open(path, 'rb')
       return handles[path]
 
+    # Resume offset within this shard's stream (whole epochs are skipped by
+    # advancing the permutation RNG; the partial epoch by slicing).
+    skip = self.start_sample if self.repeat else 0
     try:
       index = None
       while True:
@@ -63,9 +76,14 @@ class DataLoader:
             order = rng.permutation(len(index))
           else:
             order = range(len(index))
-          for i in list(order)[self.shard_index::self.num_shards]:
+          shard = list(order)[self.shard_index::self.num_shards]
+          if skip >= len(shard):
+            skip -= len(shard)
+            continue
+          for i in shard[skip:]:
             path, off = index[i]
             yield records.read_record_at(handle(path), off)
+          skip = 0
         else:
           for path in self.files:
             yield from records.read_records(path)
@@ -84,7 +102,10 @@ class DataLoader:
     done_workers = []
 
     def worker(widx):
-      rng = np.random.default_rng(self.seed + 1000 + widx)
+      # Per-(resume-offset, worker) RNG: a restarted chunk must not replay
+      # the first chunk's per-sample randomness (crops, scale jitter).
+      rng = np.random.default_rng(
+          (self.seed, 1000 + widx, self.start_sample))
       while not stop.is_set():
         with record_lock:
           try:

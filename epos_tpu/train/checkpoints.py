@@ -19,8 +19,11 @@ from epos_tpu.train import trainer as trainer_lib
 
 
 def _manager(ckpt_dir, max_to_keep=40):
+  # An explicit handler makes item_metadata() available (used to build
+  # restore templates from the checkpoint's own shapes/dtypes).
   return ocp.CheckpointManager(
       os.path.abspath(ckpt_dir),
+      item_handlers=ocp.StandardCheckpointHandler(),
       options=ocp.CheckpointManagerOptions(
           max_to_keep=max_to_keep, create=True))
 
@@ -74,19 +77,29 @@ def restore_checkpoint(ckpt_dir, state, step=None):
       opt_state=payload['opt_state'])
 
 
-def restore_params(ckpt_dir, params_template, batch_stats_template=None,
+def restore_params(ckpt_dir, params_template=None, batch_stats_template=None,
                    step=None):
   """Restores only params (+ batch_stats) for inference.
 
+  The restore template is built from the checkpoint's OWN metadata
+  (shapes/dtypes via item_metadata), mirroring the reference's
+  exact-scaffold restore (scripts/train.py:523-528): Orbax never emits the
+  template-less UNSAFE warning and the result does not depend on the
+  caller being able to reconstruct the optimizer state tree.
+
   Returns ({'params': ..., 'batch_stats': ...}, step) or None.
   """
+  del params_template  # Kept for call-site compatibility; unused.
   mgr = _manager(ckpt_dir)
   if step is None:
     step = mgr.latest_step()
   if step is None:
     mgr.close()
     return None
-  payload = mgr.restore(step, args=ocp.args.StandardRestore())
+  meta = mgr.item_metadata(step)
+  template = jax.tree_util.tree_map(
+      lambda m: jax.ShapeDtypeStruct(tuple(m.shape), m.dtype), meta)
+  payload = mgr.restore(step, args=ocp.args.StandardRestore(template))
   mgr.close()
   out = {'params': payload['params']}
   if batch_stats_template is not None and 'batch_stats' in payload:

@@ -169,9 +169,16 @@ def main(args=None):
     log.info('Matched translation error (median over %d): depth=%.1f mm, '
              'lateral=%.1f mm, norm=%.1f mm', len(terr), *med)
   if ns.output_path:
+    dump = {k: out[k] for k in
+            ('ar_vsd', 'ar_mssd', 'ar_mspd', 'ar', 'adi01_recall')
+            if k in out}
+    dump['n_gt'] = len(out['matches_mssd'])
+    dump['n_estimates'] = len(results)
+    if out.get('matches_terr'):
+      dump['median_depth_err_mm'] = float(med[0])
+      dump['median_lateral_err_mm'] = float(med[1])
     with open(ns.output_path, 'w') as f:
-      json.dump({k: out[k] for k in
-                 ('ar_vsd', 'ar_mssd', 'ar_mspd', 'ar') if k in out}, f)
+      json.dump(dump, f)
   return out
 
 

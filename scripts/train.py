@@ -91,9 +91,6 @@ def main(args=None):
     raise ValueError(f'global batch {global_batch} not divisible by '
                      f'{n_proc} processes')
   local_batch = global_batch // n_proc
-  loader = DataLoader(dataset, batch_size=local_batch, shuffle=True,
-                      repeat=True, num_workers=cfg.num_pipeline_workers,
-                      shard_index=dist.process_index(), num_shards=n_proc)
 
   rng = jax.random.PRNGKey(0)
   state = trainer.create_train_state(
@@ -119,6 +116,15 @@ def main(args=None):
         initialize_last_layer=cfg.initialize_last_layer,
         logits_only=cfg.last_layers_contain_logits_only)
     log.info('Warm-started from %s', init_dir)
+
+  # Constructed AFTER the resume so the input stream continues from where
+  # the previous process stopped (start_sample) instead of replaying the
+  # first batches — reference shuffle state advances for the whole session
+  # (epos_lib/datagen.py:674-705).
+  loader = DataLoader(dataset, batch_size=local_batch, shuffle=True,
+                      repeat=True, num_workers=cfg.num_pipeline_workers,
+                      shard_index=dist.process_index(), num_shards=n_proc,
+                      start_sample=steps_done * local_batch)
 
   step_fn = trainer.make_jitted_train_step(cfg, num_objs, mesh,
                                            state_template=state)
