@@ -279,6 +279,13 @@ def config_from_args(args=None, description=''):
   Matches the reference order: flags parsed first, YAML applied after and
   winning (epos_lib/common.py:157-177).
   """
+  # Persistent XLA compilation cache for every CLI entry point: TPU
+  # compiles through the tunnel are slow/variable, and chunked training +
+  # per-chunk scoring pay one fresh process per chunk.
+  import jax
+  jax.config.update('jax_compilation_cache_dir',
+                    os.path.join(os.path.dirname(os.path.dirname(
+                        os.path.abspath(__file__))), '.jax_cache'))
   parser = build_parser(description)
   ns, _ = parser.parse_known_args(args)
   cfg = Config()
