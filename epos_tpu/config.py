@@ -168,6 +168,18 @@ class Config:
   # runs 2 Gauss-Newton steps). 6 measured best on CNN predictions
   # (holdout AR 0.299 at 3 rounds -> 0.316 at 6, anneal 1.0).
   refine_iters: int = 6
+  # Errors-in-variables depth-debias strength (0 = off, 1 = full analytic
+  # correction; ops/ransac.py _depth_debias). Reprojection-LS with noisy
+  # predicted 3D points and EXACT 2D pixels systematically inflates depth
+  # (apparent 3D spread s^2 grows by 2*sigma^2, so z_hat ~ z*(1+sigma^2/
+  # s^2)); measured on the controlled-noise probe: +6.9 mm bias at
+  # sigma=2 mm, +38 mm at 5 mm, lateral error 20-40x smaller. The
+  # correction estimates sigma from a truncation-robust Rayleigh quantile
+  # match of inlier residuals and shrinks t accordingly (probe: bias
+  # -> ~0 at sigma<=5 mm). No reference analogue (infer.py's Prog-X
+  # carries the same bias); disabled by default pending an end-to-end AR
+  # measurement on CNN output.
+  depth_debias: float = 0.0
   scaling_from_millimeters: float = 0.1   # [compat]
   max_tanimoto_similarity: float = 0.9    # [compat]
   max_correspondences: Optional[int] = None

@@ -52,6 +52,7 @@ def production_fit_kwargs(cfg, max_instances, ow, task_type=None):
       grid_w=ow,
       refine_anneal=cfg.refine_anneal,
       refine_iters=cfg.refine_iters,
+      depth_debias=cfg.depth_debias,
       # LOCALIZATION's instance counts are exact (GT annotation list,
       # reference infer.py:462-466): the fitter searches to the count
       # with absolute floors only and ranking happens at the BOP19

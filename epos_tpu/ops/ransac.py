@@ -167,6 +167,79 @@ def _coverage(px_id, flags, npx):
   return jnp.sum(buf)
 
 
+def _depth_debias(out, coord_2d, coord_3d, valid, K, inlier_thresh,
+                  strength, min_corrs):
+  """Errors-in-variables depth correction of fitted poses.
+
+  EPOS correspondences have EXACT 2D coordinates (pixel centers) and noisy
+  predicted 3D points; least-squares reprojection then sees an INFLATED
+  apparent 3D spread (E[s_hat^2] = s^2 + 2*sigma^2 per in-plane axis) and
+  systematically overestimates depth: z_hat ~ z * (1 + sigma^2 / s^2).
+  Measured on the controlled-noise probe (box object, z~430 mm, f=320):
+  median signed depth error +6.9 mm at sigma=2 mm, +38 mm at 5 mm,
+  +150 mm at 10 mm — every trial biased AWAY — while lateral error stays
+  20-40x smaller. The reference's Progressive-X + OpenCV EPnP pipeline
+  minimizes the same objective and carries the same bias (no analogue of
+  this correction exists there; cite scripts/infer.py:470-503).
+
+  The correction, per valid instance:
+  - inliers owned by the instance (nearest-pose assignment, tau_r gate);
+  - sigma_2d from a truncation-robust Rayleigh quantile match: rho =
+    n(r < tau/2) / n(r < tau) depends only on residuals BELOW the inlier
+    threshold, so the tau_r truncation cannot bias it (a plain RMS of
+    inlier residuals underestimates sigma ~2x at sigma=5 mm);
+  - sigma_3d = sigma_2d * z / f;  s^2 = per-axis in-plane spread of the
+    inlier 3D points (camera frame, perpendicular to the translation ray);
+  - t *= 1 / (1 + strength * sigma_3d^2 / max(s^2 - 2 sigma_3d^2, s^2/4)).
+
+  Probe validation (40 poses/config): bias +6.9 -> -0.3 at sigma=2,
+  +38 -> +1.1 at sigma=5; sigma=0.5 and exact inputs unchanged.
+  """
+  tau = inlier_thresh
+  errs = epnp.reprojection_errors(coord_3d, coord_2d, K, out.R, out.t)
+  errs = jnp.where(out.valid[:, None], errs, jnp.inf)          # [M, C]
+  owner = jnp.argmin(errs, axis=0)                             # [C]
+  f = 0.5 * (K[0, 0] + K[1, 1])
+
+  def one(R, t, e, slot, is_valid):
+    mine = valid & (owner == slot)
+    inl = (e < tau) & mine
+    n2 = jnp.sum(inl)
+    n1 = jnp.sum((e < 0.5 * tau) & mine)
+    rho = n1 / jnp.maximum(n2, 1).astype(jnp.float32)
+
+    def body(_, lohi):
+      lo, hi = lohi
+      mid = 0.5 * (lo + hi)
+      q = ((1.0 - jnp.exp(-tau ** 2 / (8.0 * mid ** 2)))
+           / (1.0 - jnp.exp(-tau ** 2 / (2.0 * mid ** 2))))
+      too_small = q > rho          # q falls as sigma grows
+      return (jnp.where(too_small, mid, lo), jnp.where(too_small, hi, mid))
+
+    lo, hi = jax.lax.fori_loop(
+        0, 25, body, (jnp.float32(0.02), jnp.float32(4.0 * tau)))
+    s2d = 0.5 * (lo + hi)
+    cam = epnp.mat3_apply(R, coord_3d) + t
+    w = inl.astype(jnp.float32)
+    nw = jnp.maximum(jnp.sum(w), 1.0)
+    zc = jnp.sum(cam[:, 2] * w) / nw
+    sig3 = s2d * zc / f
+    d = t / jnp.maximum(jnp.linalg.norm(t), 1e-6)
+    mu = jnp.sum(cam * w[:, None], 0) / nw
+    rel = cam - mu
+    proj = rel - (rel @ d)[:, None] * d[None, :]
+    s2 = jnp.sum(jnp.sum(proj ** 2, 1) * w) / nw / 2.0
+    s2_true = jnp.maximum(s2 - 2.0 * sig3 ** 2, 0.25 * s2)
+    beta = sig3 ** 2 / jnp.maximum(s2_true, 1e-6)
+    ok = is_valid & (n2 >= min_corrs)
+    scale = jnp.where(ok, 1.0 / (1.0 + strength * beta), 1.0)
+    return t * scale
+
+  slots = jnp.arange(out.t.shape[0], dtype=jnp.int32)
+  t_new = jax.vmap(one)(out.R, out.t, errs, slots, out.valid)
+  return out._replace(t=t_new)
+
+
 def pearl_refine(out, coord_2d, coord_3d, conf, px_id, valid, K, npx,
                  inlier_thresh, min_corrs, min_inlier_mass, iters=2,
                  spatial_weight=0.1, grid_w=0):
@@ -268,7 +341,7 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
                   min_inlier_mass=8.0, pearl_iters=2, spatial_weight=0.1,
                   grid_w=0, refine_anneal=1.0, reject_patience=2,
                   pearl_max_models=5, exact_counts=False,
-                  local_sample_frac=0.5):
+                  local_sample_frac=0.5, depth_debias=0.0):
   """Fits up to `num_instances` poses of one object.
 
   Args:
@@ -503,6 +576,9 @@ def fit_instances(coord_2d, coord_3d, conf, px_id, valid, K, npx,
     use = (n_val > 1) & (n_val <= pearl_max_models)
     out = FitResult(*(jnp.where(use, pn, po)
                       for pn, po in zip(pearl_out, out)))
+  if depth_debias:
+    out = _depth_debias(out, coord_2d, coord_3d, valid, K, inlier_thresh,
+                        depth_debias, min_corrs)
   # Normalize reported quality to [0, 1]: coverage fraction of the object's
   # full correspondence pixel footprint (the reference's pose_qualities are
   # per-object comparable scores, infer.py:497-503).
@@ -517,7 +593,7 @@ def fit_all_objects(corrs, K, npx, rng, instance_counts, num_hypotheses=400,
                     neighbour_px=20.0, min_inlier_mass=8.0, pearl_iters=2,
                     spatial_weight=0.1, grid_w=0, refine_anneal=1.0,
                     pearl_max_models=5, exact_counts=False,
-                    local_sample_frac=0.5):
+                    local_sample_frac=0.5, depth_debias=0.0):
   """vmap of fit_instances over the object axis of a Correspondences batch.
 
   corrs: epos_tpu.ops.corresp.Correspondences ([O, C, ...] arrays).
@@ -538,7 +614,7 @@ def fit_all_objects(corrs, K, npx, rng, instance_counts, num_hypotheses=400,
         pearl_iters=pearl_iters, spatial_weight=spatial_weight,
         grid_w=grid_w, refine_anneal=refine_anneal,
         pearl_max_models=pearl_max_models, exact_counts=exact_counts,
-        local_sample_frac=local_sample_frac)
+        local_sample_frac=local_sample_frac, depth_debias=depth_debias)
 
   return jax.vmap(per_obj)(
       corrs.coord_2d, corrs.coord_3d, corrs.conf, corrs.px_id, corrs.valid,
