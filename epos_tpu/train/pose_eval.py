@@ -261,7 +261,13 @@ def evaluate_localization(results, gt_per_image, models_pts, diameters,
                   - np.asarray(gts_o[gi]['t']).reshape(3))
             m_terr.append((obj, float(abs(dt[2])),
                            float(np.hypot(dt[0], dt[1])),
-                           float(np.linalg.norm(dt))))
+                           float(np.linalg.norm(dt)),
+                           # SIGNED depth: + = estimated farther than GT.
+                           # The EIV inflation bias (ops/ransac.py
+                           # _depth_debias) predicts a positive median on
+                           # healthy models; a negative one indicates
+                           # collapsed fragment predictions instead.
+                           float(dt[2])))
       mat_vsd = None
       if m_vsd is not None:
         depth_im = (depth_ims or {}).get((scene_id, im_id))

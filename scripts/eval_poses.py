@@ -167,7 +167,8 @@ def main(args=None):
     terr = np.array([m[1:] for m in out['matches_terr']])
     med = np.median(terr, axis=0)
     log.info('Matched translation error (median over %d): depth=%.1f mm, '
-             'lateral=%.1f mm, norm=%.1f mm', len(terr), *med)
+             'lateral=%.1f mm, norm=%.1f mm, signed depth=%+.1f mm',
+             len(terr), *med)
   if ns.output_path:
     dump = {k: out[k] for k in
             ('ar_vsd', 'ar_mssd', 'ar_mspd', 'ar', 'adi01_recall')
@@ -177,6 +178,9 @@ def main(args=None):
     if out.get('matches_terr'):
       dump['median_depth_err_mm'] = float(med[0])
       dump['median_lateral_err_mm'] = float(med[1])
+      # Signed: + = poses pushed away from the camera (the EIV-inflation
+      # signature the depth_debias option corrects); - = collapsed-depth.
+      dump['median_depth_err_signed_mm'] = float(med[3])
     with open(ns.output_path, 'w') as f:
       json.dump(dump, f)
   return out

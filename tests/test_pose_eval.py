@@ -107,11 +107,12 @@ def test_matched_translation_error_decomposition():
               't': t_gt + np.array([3.0, 4.0, 12.0]), 'score': 1.0}]
   out = pose_eval.evaluate_localization(
       results, gt_per_image, {1: pts}, {1: 70.0}, {(1, 0): K})
-  (obj, depth, lateral, norm), = out['matches_terr']
+  (obj, depth, lateral, norm, signed), = out['matches_terr']
   assert obj == 1
   np.testing.assert_allclose(depth, 12.0)
   np.testing.assert_allclose(lateral, 5.0)
   np.testing.assert_allclose(norm, 13.0)
+  np.testing.assert_allclose(signed, 12.0)  # + = pushed away from camera
   # An unmatched GT contributes nothing (no estimates for this image).
   out2 = pose_eval.evaluate_localization(
       [], gt_per_image, {1: pts}, {1: 70.0}, {(1, 0): K})
