@@ -113,6 +113,16 @@ class Config:
   # value: at 0.9997 the moving stats still carry 0.9997^steps of their
   # init (74% after 1k steps), so eval-mode BN lags the trained params.
   bn_momentum: Optional[float] = None
+  # [extension] BN moving stats are recalibrated on this many RAW
+  # (un-augmented) training batches before every checkpoint save
+  # (trainer.recalibrate_batch_stats). 0 disables. Root-caused necessity:
+  # stats saved mid-short-schedule are an EMA of the last ~1/(1-momentum)
+  # AUGMENTED batches, a measurably different activation distribution than
+  # clean eval images — on the tracked benchmark's 20k checkpoint this cost
+  # 2.1x fragment top-1 accuracy (0.27 vs 0.57) and collapsed BOP AR
+  # (ACCURACY_r05.json). The reference never hits this because its 2M-step
+  # schedule converges stats in-run (epos/scripts/train.py:103-105).
+  bn_recalibration_batches: int = 100
   weight_decay: float = 0.00004
   initial_checkpoint: Optional[str] = None
   initialize_last_layer: bool = False
@@ -293,9 +303,15 @@ def config_from_args(args=None, description=''):
   """
   # Persistent XLA compilation cache for every CLI entry point: TPU
   # compiles through the tunnel are slow/variable, and chunked training +
-  # per-chunk scoring pay one fresh process per chunk.
+  # per-chunk scoring pay one fresh process per chunk. EPOS_JAX_CACHE_DIR
+  # overrides the location: the pytest suite must NOT share a cache dir
+  # with a concurrently-running TPU job — a reader hitting a half-written
+  # entry segfaults in jax's executable deserialization (observed when the
+  # suite ran beside the tracked e2e run; tests/conftest.py isolates to
+  # .jax_cache_cpu via this variable).
   import jax
   jax.config.update('jax_compilation_cache_dir',
+                    os.environ.get('EPOS_JAX_CACHE_DIR') or
                     os.path.join(os.path.dirname(os.path.dirname(
                         os.path.abspath(__file__))), '.jax_cache'))
   parser = build_parser(description)

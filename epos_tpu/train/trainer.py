@@ -182,6 +182,50 @@ def train_step(state, batch, dropout_rng, cfg, num_objs):
   return new_state, metrics
 
 
+def recalibrate_batch_stats(cfg, num_objs, state, next_batch_fn,
+                            num_batches, momentum=0.9):
+  """Refreshes the BN moving statistics on UN-augmented training batches.
+
+  Short-training-regime necessity with no reference analogue: the
+  reference's 2M-step schedule (epos/scripts/train.py:103-105) converges
+  its BN moving averages in-run at momentum 0.9997, but a 20-50k-step
+  schedule saves stats that are an EMA of the last ~1/(1-momentum)
+  AUGMENTED batches — a different activation distribution than the clean
+  eval images. Measured on the tracked benchmark's 20k checkpoint
+  (ACCURACY_r05.json): stale stats cost 2.1x fragment top-1 accuracy
+  (0.27 -> 0.57) and were the root cause of the round-4/5 tracked-run AR
+  collapse (holdout 0.029 -> healthy after recalibration).
+
+  Streams `num_batches` raw batches in train mode (dropout active, exactly
+  as the stats were formed during training) through the model rebuilt with
+  the recalibration momentum, then returns `state` with the refreshed
+  stats. Residual weight of the old stats is momentum**num_batches
+  (0.9**100 ~ 3e-5).
+  """
+  import dataclasses
+
+  from epos_tpu.models import epos_model
+
+  recal_cfg = dataclasses.replace(cfg, bn_momentum=momentum)
+  model = epos_model.build_model(recal_cfg, num_objs)
+
+  @jax.jit
+  def update(params, stats, images, rng_):
+    out = epos_model.multi_scale_logits(
+        model, {'params': params, 'batch_stats': stats}, images,
+        image_pyramid=cfg.image_pyramid, merge_method=cfg.merge_method,
+        train=True, rngs={'dropout': rng_}, mutable=['batch_stats'])
+    return out[-1]['batch_stats']
+
+  stats = state.batch_stats
+  rng = jax.random.PRNGKey(97)
+  for i in range(num_batches):
+    batch = next_batch_fn()
+    stats = update(state.params, stats, jnp.asarray(batch[common.IMAGE]),
+                   jax.random.fold_in(rng, i))
+  return state.replace(batch_stats=stats)
+
+
 def make_jitted_train_step(cfg, num_objs, mesh: Optional[Any] = None,
                            state_template: Optional[Any] = None):
   """Jits train_step with mesh shardings (batch on 'data').

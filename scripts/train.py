@@ -196,6 +196,29 @@ def main(args=None):
       # replicated arrays from the primary host only) — a chief-only call
       # deadlocks on Orbax's barrier. This is the JAX-native form of the
       # reference's is_chief checkpoint gating (train.py:544).
+      if cfg.bn_recalibration_batches > 0 and cfg.fine_tune_batch_norm:
+        # Refresh BN moving stats on RAW batches before saving: the
+        # training EMA tracks the last ~1/(1-momentum) AUGMENTED batches,
+        # a different activation distribution than clean eval images
+        # (trainer.recalibrate_batch_stats docstring; root cause of the
+        # round-4 tracked AR collapse). A dedicated loader keeps the
+        # training stream untouched so chunk resume stays deterministic.
+        recal_loader = DataLoader(
+            dataset, batch_size=local_batch, shuffle=True, repeat=True,
+            num_workers=cfg.num_pipeline_workers, seed=10_000 + steps_done)
+        recal_iter = iter(recal_loader)
+
+        def recal_batch():
+          b = next(recal_iter)
+          return {k: v for k, v in b.items() if k == common.IMAGE}
+
+        state = trainer.recalibrate_batch_stats(
+            cfg, num_objs, state, recal_batch,
+            cfg.bn_recalibration_batches)
+        recal_iter.close()  # -> generator finally -> worker stop event
+        if chief:
+          log.info('Recalibrated BN stats on %d raw batches',
+                   cfg.bn_recalibration_batches)
       checkpoints.save_checkpoint(ckpt_dir, state,
                                   cfg.max_checkpoints_to_keep)
       if chief:

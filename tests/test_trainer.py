@@ -203,3 +203,49 @@ def test_train_step_tensor_parallel_heads():
   # A second step runs on the sharded state (donation + resharding OK).
   state2, m2 = step_tp(state2, batch_tp, rng)
   assert np.isfinite(float(m2['total_loss']))
+
+def test_bn_recalibration_tracks_target_distribution():
+  """trainer.recalibrate_batch_stats: moving stats refreshed on the target
+  distribution converge to that distribution's batch moments and away from
+  stats seeded on a shifted (augmented-like) distribution — the property
+  whose violation collapsed the round-4 tracked run."""
+  cfg = micro_cfg(bn_momentum=0.9)
+  rng = jax.random.PRNGKey(0)
+  state = trainer.create_train_state(
+      cfg, NUM_OBJS, rng, jnp.zeros((2, H, W, 3)))
+
+  # CONSTANT batches make the convergence target exact: with a fixed input
+  # the EMA must land on that batch's moments (up to dropout noise), so the
+  # assertion is not polluted by inter-batch sampling variance (random
+  # per-batch moments of deep activations vary enough to mask the shift).
+  r = np.random.default_rng(3)
+  shifted = {common.IMAGE: jnp.asarray(
+      150.0 + 40.0 * r.normal(size=(2, H, W, 3)), jnp.float32)}
+  clean = {common.IMAGE: jnp.asarray(
+      r.uniform(0, 255, (2, H, W, 3)), jnp.float32)}
+
+  def flat(stats):
+    leaves = jax.tree_util.tree_leaves(stats)
+    return np.concatenate([np.asarray(x).ravel() for x in leaves])
+
+  # Stats as training would leave them: an EMA over the SHIFTED stream.
+  it_s = iter([shifted] * 8)
+  seeded = trainer.recalibrate_batch_stats(
+      cfg, NUM_OBJS, state, lambda: next(it_s), num_batches=8, momentum=0.5)
+
+  # Ground truth: pure moments of the clean batch (momentum 0 == keep only
+  # the latest batch).
+  it1 = iter([clean])
+  true = flat(trainer.recalibrate_batch_stats(
+      cfg, NUM_OBJS, seeded, lambda: next(it1), num_batches=1,
+      momentum=0.0).batch_stats)
+
+  it_c = iter([clean] * 7)
+  recal = trainer.recalibrate_batch_stats(
+      cfg, NUM_OBJS, seeded, lambda: next(it_c), num_batches=7,
+      momentum=0.5)
+
+  d_seeded = np.linalg.norm(flat(seeded.batch_stats) - true)
+  d_recal = np.linalg.norm(flat(recal.batch_stats) - true)
+  # Recalibration moves the stats decisively onto the target moments.
+  assert d_recal < d_seeded / 3.0, (d_seeded, d_recal)
