@@ -187,8 +187,14 @@ class Config:
   # correction estimates sigma from a truncation-robust Rayleigh quantile
   # match of inlier residuals and shrinks t accordingly (probe: bias
   # -> ~0 at sigma<=5 mm). No reference analogue (infer.py's Prog-X
-  # carries the same bias); disabled by default pending an end-to-end AR
-  # measurement on CNN output.
+  # carries the same bias). End-to-end A/B on the round-5 tracked 50k
+  # checkpoint (64-image holdout): 1.0 scores AR 0.3535 vs 0.3483 off,
+  # ADI@0.1d 0.368 vs 0.330, median depth err 20.2 vs 21.7 mm — but the
+  # signed depth error overshoots ~+1 -> -7.0 mm (CNN residuals are not
+  # iid Rayleigh, so full strength overcorrects). Kept off by default:
+  # the AR gain is within split noise and the tracked benchmark's
+  # semantics stay comparable across rounds; enable ~0.5-1.0 per-dataset
+  # after a holdout sweep.
   depth_debias: float = 0.0
   scaling_from_millimeters: float = 0.1   # [compat]
   max_tanimoto_similarity: float = 0.9    # [compat]
