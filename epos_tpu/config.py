@@ -310,16 +310,18 @@ def config_from_args(args=None, description=''):
   # Persistent XLA compilation cache for every CLI entry point: TPU
   # compiles through the tunnel are slow/variable, and chunked training +
   # per-chunk scoring pay one fresh process per chunk. EPOS_JAX_CACHE_DIR
-  # overrides the location: the pytest suite must NOT share a cache dir
-  # with a concurrently-running TPU job — a reader hitting a half-written
-  # entry segfaults in jax's executable deserialization (observed when the
-  # suite ran beside the tracked e2e run; tests/conftest.py isolates to
-  # .jax_cache_cpu via this variable).
+  # overrides the location; set-but-EMPTY disables the cache entirely —
+  # the pytest suite needs that because XLA:CPU executable
+  # deserialization reproducibly aborts on the big RANSAC while-loop
+  # executables (tests/conftest.py), and a TPU job must never share a
+  # cache dir with a concurrent CPU reader for the same reason.
   import jax
-  jax.config.update('jax_compilation_cache_dir',
-                    os.environ.get('EPOS_JAX_CACHE_DIR') or
-                    os.path.join(os.path.dirname(os.path.dirname(
-                        os.path.abspath(__file__))), '.jax_cache'))
+  cache_dir = os.environ.get('EPOS_JAX_CACHE_DIR')
+  if cache_dir is None:
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), '.jax_cache')
+  if cache_dir:
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
   parser = build_parser(description)
   ns, _ = parser.parse_known_args(args)
   cfg = Config()

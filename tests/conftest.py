@@ -16,15 +16,14 @@ if '--xla_force_host_platform_device_count' not in xla_flags:
 # of JAX_PLATFORMS; override it through the config API.
 import jax  # noqa: E402
 jax.config.update('jax_platforms', 'cpu')
-# Persistent compilation cache: re-runs skip the ~16 min of CPU compiles.
-# Tests get their OWN cache dir (.jax_cache_cpu), never the .jax_cache a
-# concurrent TPU job writes to: reading a half-written entry segfaults in
-# jax's executable deserialization (two full-suite runs died this way at
-# the exact moments the tracked e2e run was compiling its eval jits). The
-# env var also routes the in-process CLI mains the suite invokes
-# (config.config_from_args honors it).
-_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), '.jax_cache_cpu')
-os.environ['EPOS_JAX_CACHE_DIR'] = _cache_dir
-jax.config.update('jax_compilation_cache_dir', _cache_dir)
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+# NO persistent compilation cache for tests: XLA:CPU executable
+# DESERIALIZATION reproducibly aborts/segfaults on the large RANSAC
+# while-loop executables in this jaxlib — even reading back an entry the
+# SAME process wrote moments earlier (verified on a fresh empty cache
+# dir; the read happens when a later jit wrapper traces to identical HLO
+# and hits the persistent cache instead of recompiling). Suites pay the
+# cold compiles (~10 extra minutes) in exchange for never dying mid-run.
+# The empty env var also keeps the in-process CLI mains the suite invokes
+# from re-enabling the cache (config.config_from_args honors it); TPU
+# entry points keep using .jax_cache, whose reads have never faulted.
+os.environ['EPOS_JAX_CACHE_DIR'] = ''
