@@ -232,6 +232,15 @@ class Config:
   # Fixed capacities replacing the reference's dynamic shapes (SURVEY.md §7).
   max_gt_instances: int = 16          # Padded GT annotations per image.
   max_corrs_per_obj: int = 2048       # Padded correspondences per object.
+  # Route the two correspondence-selection top-Ks through
+  # lax.approx_max_k (TPU PartialReduce, recall 0.95) instead of the full
+  # lax.top_k sort. The selection sorts are the single largest cost of
+  # the flagship inference pipeline (extract 12.8 ms of 36 ms/img,
+  # PROFILE_r05.json); the ~5% recall tail hits only the LOWEST-
+  # confidence kept correspondences, which the confidence-weighted RANSAC
+  # discounts anyway. Off by default pending the measured flip
+  # (README "Where the MFU goes"); exactness tests pin approx_topk=False.
+  corresp_approx_topk: bool = False
   compute_dtype: str = 'bfloat16'     # MXU-friendly compute precision.
   num_pipeline_workers: int = 1       # Host data workers (1-core host).
   mesh_shape: Optional[List[int]] = None  # Device mesh (None = all-data-parallel).

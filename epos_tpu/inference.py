@@ -102,7 +102,8 @@ class InferenceEngine:
         if cfg.max_correspondences is None
         else min(cfg.max_corrs_per_obj, cfg.max_correspondences),
         min_obj_conf=cfg.corr_min_obj_conf,
-        min_frag_rel_conf=cfg.corr_min_frag_rel_conf)
+        min_frag_rel_conf=cfg.corr_min_frag_rel_conf,
+        approx_topk=cfg.corresp_approx_topk)
     # Engine-level: a per-call task_type override does not rebuild the
     # jits (exact_counts is compiled in, see _check_task_type).
     fit_kw = production_fit_kwargs(cfg, self.max_instances, ow)

@@ -39,10 +39,30 @@ class Correspondences(NamedTuple):
   count: jnp.ndarray      # [O] int32.
 
 
+def _top_k(scores, k, approx):
+  """Exact lax.top_k, or the TPU PartialReduce approx_max_k path.
+
+  approx_max_k lowers to a single O(n) partial-reduction on TPU instead of
+  a full sort; the two selection top-Ks sit inside the extract stage that
+  PROFILE_r05.json measures as the largest single cost of the inference
+  pipeline (12.8 of 36 ms/img). recall_target=0.95 bounds the tail loss
+  to the lowest-confidence ~5% of kept correspondences; the RANSAC stage
+  weights by confidence, so the affected tail carries the least influence
+  (test_approx_topk_selection_overlaps_exact asserts >= 90% confidence-
+  mass overlap). On CPU approx_max_k falls back to the exact sort. Off by
+  default until the on-chip A/B (scripts/profile_infer.py --approx_topk)
+  shows a measured win at unchanged tracked-holdout AR.
+  """
+  if not approx:
+    return jax.lax.top_k(scores, k)
+  vals, idx = jax.lax.approx_max_k(scores, k, recall_target=0.95)
+  return vals, idx.astype(jnp.int32)
+
+
 def establish_many_to_many(obj_confs, frag_confs, frag_coords, frag_centers,
                            frag_sizes, output_scale, capacity=2048,
                            min_obj_conf=0.1, min_frag_rel_conf=0.5,
-                           obj_mask_enable=None):
+                           obj_mask_enable=None, approx_topk=False):
   """Extracts correspondences for every object in one fused device pass.
 
   EXACT reference semantics: every fragment passing tau_b contributes
@@ -93,8 +113,9 @@ def establish_many_to_many(obj_confs, frag_confs, frag_coords, frag_centers,
     fmax = jnp.max(fconf, axis=-1)                    # [P]
     pix_best = jnp.where(obj_ok, obj_conf * fmax, 0.0)
 
-    # Stage 1: top pixels by their best survivor score (exactness bound).
-    best_conf, pix_sel = jax.lax.top_k(pix_best, n_pix)
+    # Stage 1: top pixels by their best survivor score (exactness bound;
+    # with approx_topk the bound holds for the ~95% recalled pixels).
+    best_conf, pix_sel = _top_k(pix_best, n_pix, approx_topk)
     rows = fconf[pix_sel]                             # [n_pix, F]
     rmax = jnp.max(rows, axis=-1, keepdims=True)
     rok = (rows > rmax * min_frag_rel_conf) & (best_conf > 0.0)[:, None]
@@ -104,7 +125,7 @@ def establish_many_to_many(obj_confs, frag_confs, frag_coords, frag_centers,
     # resolutions the candidate pool can be smaller than the capacity —
     # clamp k and zero-pad back to the fixed output shape.
     k2 = min(capacity, n_pix * num_frags)
-    top_conf, flat_idx = jax.lax.top_k(rscore.reshape(-1), k2)
+    top_conf, flat_idx = _top_k(rscore.reshape(-1), k2, approx_topk)
     if k2 < capacity:
       top_conf = jnp.pad(top_conf, (0, capacity - k2))
       flat_idx = jnp.pad(flat_idx, (0, capacity - k2))
@@ -175,7 +196,8 @@ def project_to_model_vertices(corrs, model_verts, vert_counts,
 def establish_many_to_many_fused(obj_confs, frag_logits, frag_coords,
                                  frag_centers, frag_sizes, output_scale,
                                  capacity=2048, min_obj_conf=0.1,
-                                 min_frag_rel_conf=0.5, obj_mask_enable=None):
+                                 min_frag_rel_conf=0.5, obj_mask_enable=None,
+                                 approx_topk=False):
   """Pallas-fused variant: per-pixel best-score selection runs as a TPU
   kernel over the RAW fragment logits (softmax max + tau_a fused, no
   [h,w,O,F] conf tensor in HBM — ops/corresp_pallas.py); the exact stage-2
@@ -204,7 +226,7 @@ def establish_many_to_many_fused(obj_confs, frag_logits, frag_coords,
   logits_flat = frag_logits.reshape(npx, num_objs, num_frags)
 
   def per_object(o, best_o):
-    best_conf, pix_sel = jax.lax.top_k(best_o, n_pix)      # [n_pix]
+    best_conf, pix_sel = _top_k(best_o, n_pix, approx_topk)  # [n_pix]
     rows = jax.nn.softmax(
         logits_flat[pix_sel, o].astype(jnp.float32), axis=-1)
     rmax = jnp.max(rows, axis=-1, keepdims=True)
@@ -213,7 +235,7 @@ def establish_many_to_many_fused(obj_confs, frag_logits, frag_coords,
     rscore = jnp.where(rok, cobj_sel[:, None] * rows, 0.0)
 
     k2 = min(capacity, n_pix * num_frags)
-    top_conf, flat_idx = jax.lax.top_k(rscore.reshape(-1), k2)
+    top_conf, flat_idx = _top_k(rscore.reshape(-1), k2, approx_topk)
     if k2 < capacity:
       top_conf = jnp.pad(top_conf, (0, capacity - k2))
       flat_idx = jnp.pad(flat_idx, (0, capacity - k2))

@@ -51,6 +51,9 @@ def main(args=None):
   p.add_argument('--n', type=int, default=24)
   p.add_argument('--num_frags', type=int, default=64)
   p.add_argument('--num_objs', type=int, default=21)
+  # A/B the selection path: route the extraction top-Ks through
+  # lax.approx_max_k (config.corresp_approx_topk rationale).
+  p.add_argument('--approx_topk', action='store_true')
   ns = p.parse_args(args)
 
   num_objs, num_frags = ns.num_objs, ns.num_frags
@@ -95,7 +98,8 @@ def main(args=None):
     obj, fc, fl = preds
     return corresp_lib.establish_many_to_many(
         obj[0], fc[0], fl[0], frag_centers, frag_sizes,
-        output_scale=0.25, capacity=cfg.max_corrs_per_obj)
+        output_scale=0.25, capacity=cfg.max_corrs_per_obj,
+        approx_topk=ns.approx_topk)
 
   def make_fit(refine_iters=None, num_hypotheses=None):
     # Production fit configuration (engine parity, VERDICT r3 #8) with
@@ -120,6 +124,7 @@ def main(args=None):
 
   out = {
       'n': ns.n, 'num_frags': num_frags, 'num_objs': num_objs,
+      'approx_topk': ns.approx_topk,
       'backbone_ms': round(1000 * timed(
           backbone_only, [(variables, im) for im in images]), 2),
       'predict_ms': round(1000 * timed(

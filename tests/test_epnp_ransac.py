@@ -460,6 +460,46 @@ def test_fused_corresp_matches_unfused():
                                rtol=1e-3, atol=1e-3)
 
 
+def test_approx_topk_selection_overlaps_exact():
+  """approx_topk routes selection through lax.approx_max_k (recall 0.95
+  on TPU; exact fallback on CPU). The kept-correspondence confidence MASS
+  must cover >= 90% of the exact selection's mass — the property that
+  makes the tail loss immaterial to the confidence-weighted RANSAC."""
+  r = np.random.default_rng(31)
+  h, w, O, F = 24, 32, 3, 8
+  obj_confs = jnp.asarray(jax.nn.softmax(
+      jnp.asarray(r.normal(size=(h, w, O + 1)) * 2), -1))
+  frag_confs = jax.nn.softmax(
+      jnp.asarray(r.normal(size=(h, w, O, F)) * 2, jnp.float32), -1)
+  frag_coords = jnp.asarray(r.normal(size=(h, w, O, F, 3)), jnp.float32)
+  centers = jnp.asarray(r.uniform(-40, 40, (O, F, 3)), jnp.float32)
+  sizes = jnp.asarray(r.uniform(5, 30, (O, F)), jnp.float32)
+
+  kw = dict(output_scale=0.25, capacity=128)
+  exact = corresp_lib.establish_many_to_many(
+      obj_confs, frag_confs, frag_coords, centers, sizes, **kw)
+  approx = corresp_lib.establish_many_to_many(
+      obj_confs, frag_confs, frag_coords, centers, sizes,
+      approx_topk=True, **kw)
+  for o in range(O):
+    ne, na = int(exact.count[o]), int(approx.count[o])
+    mass_e = float(jnp.sum(exact.conf[o][:ne]))
+    mass_a = float(jnp.sum(approx.conf[o][:na]))
+    if mass_e == 0.0:
+      assert mass_a == 0.0
+      continue
+    assert mass_a >= 0.9 * mass_e, (o, mass_a, mass_e)
+    # Every kept correspondence is a genuine survivor (subset property:
+    # approx may DROP entries, never invent them).
+    sel_a = {(int(p), int(f)) for p, f, v in zip(
+        np.asarray(approx.px_id[o]), np.asarray(approx.frag_id[o]),
+        np.asarray(approx.valid[o])) if v}
+    sel_e = {(int(p), int(f)) for p, f, v in zip(
+        np.asarray(exact.px_id[o]), np.asarray(exact.frag_id[o]),
+        np.asarray(exact.valid[o])) if v}
+    assert sel_a <= sel_e or len(sel_a - sel_e) <= max(1, len(sel_a) // 10)
+
+
 def test_epnp_planar_points():
   """Near-planar point sets (object showing one face) — the classic EPnP
   N=1 degeneracy. Regression for the synthetic end-to-end failure."""
