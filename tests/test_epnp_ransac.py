@@ -801,6 +801,24 @@ def test_refine_pose_gn_stays_finite_on_degenerate_set():
   assert bool(jnp.isfinite(t1).all()), np.asarray(t1)
 
 
+_FIT_DEBIAS_JITS = {}
+
+
+def _fit_debias_jitted(strength):
+  """Module-cached jitted fit for the depth-debias tests (config matches
+  test_ransac_with_outliers). Jit — not eager — and shared between the
+  two tests: see test_depth_debias_reduces_eiv_depth_bias's docstring."""
+  f = _FIT_DEBIAS_JITS.get(strength)
+  if f is None:
+    def fit(uv, xyz, conf, px, val, k_mat, key):
+      return ransac.fit_instances(
+          uv, xyz, conf, px, val, k_mat, npx=256, rng=key,
+          num_hypotheses=128, inlier_thresh=4.0, max_instances=1,
+          num_instances=1, min_quality=0.3, depth_debias=strength)
+    f = _FIT_DEBIAS_JITS[strength] = jax.jit(fit)
+  return f
+
+
 def test_depth_debias_reduces_eiv_depth_bias():
   """3D-noise (errors-in-variables) depth bias and its correction.
 
@@ -811,19 +829,18 @@ def test_depth_debias_reduces_eiv_depth_bias():
   depth_debias estimates the noise from a truncation-robust Rayleigh
   quantile match of the inlier residuals and shrinks t.
 
-  The fit configuration deliberately MATCHES test_ransac_with_outliers
-  (C=180, npx=256, 128 hypotheses, min_quality=0.3): depth_debias only
-  changes the post-loop epilogue, so the big RANSAC while-loop executable
-  is a process-level cache hit instead of a fresh compile. The original
-  config (C=192, npx=192, 64 hypotheses) was unique to this test and
-  XLA:CPU crashed compiling exactly that loop executable — five
-  consecutive suite runs segfaulted here (in backend_compile_and_load, or
-  in cache deserialization of the same executable) while every other fit
-  config in this file compiles fine.
+  The fits run through `_fit_debias_jitted` — a module-cached jax.jit —
+  NOT eagerly: XLA:CPU segfaults compiling large RANSAC while-loop
+  executables through the EAGER dispatch path (`apply_primitive`) late in
+  a long test process. Five consecutive suite runs died at exactly this
+  test (crash stacks all route through dispatch.apply_primitive ->
+  backend_compile_and_load, or cache deserialization of the same
+  executable), while the same loop compiles fine eagerly EARLY in a
+  process and compiles fine at ANY point through the jit/pjit path (the
+  slow-suite inference-pipeline tests jit-compile bigger fit programs
+  late in the full suite and have always passed).
   """
   C = 180
-  kw = dict(npx=256, num_hypotheses=128, inlier_thresh=4.0,
-            max_instances=1, num_instances=1, min_quality=0.3)
   raw_depth, cor_depth = [], []
   for seed in range(6):
     r = np.random.default_rng(seed)
@@ -834,10 +851,10 @@ def test_depth_debias_reduces_eiv_depth_bias():
     px = np.arange(C, dtype=np.int32)
     d = t / np.linalg.norm(t)
     for strength, acc in ((0.0, raw_depth), (1.0, cor_depth)):
-      res = ransac.fit_instances(
+      res = _fit_debias_jitted(strength)(
           jnp.asarray(uv), jnp.asarray(xyz), jnp.ones((C,), jnp.float32),
           jnp.asarray(px), jnp.ones((C,), bool), jnp.asarray(K, jnp.float32),
-          rng=jax.random.PRNGKey(seed), depth_debias=strength, **kw)
+          jax.random.PRNGKey(seed))
       assert bool(res.valid[0])
       acc.append(float((np.asarray(res.t[0]) - t) @ d))
   # The EIV effect is a BIAS: every raw fit lands beyond the GT depth
@@ -853,20 +870,18 @@ def test_depth_debias_reduces_eiv_depth_bias():
 
 
 def test_depth_debias_noop_on_exact_correspondences():
-  # Same fit config as test_ransac_with_outliers / the bias test above —
-  # see the executable-reuse note in test_depth_debias_reduces_eiv_depth_bias.
+  # Shares _fit_debias_jitted(1.0) with the bias test above — exact-input
+  # fits must stay exact (the estimated sigma collapses, scale -> 1).
   C = 180
   R, t = random_pose(7)
   r = np.random.default_rng(7)
   pts = r.uniform(-30, 30, size=(C, 3)).astype(np.float32)
   uv = np.asarray(geometry.project_pts(pts, K, R, t), np.float32)
   px = np.arange(C, dtype=np.int32)
-  res = ransac.fit_instances(
+  res = _fit_debias_jitted(1.0)(
       jnp.asarray(uv), jnp.asarray(pts), jnp.ones((C,), jnp.float32),
       jnp.asarray(px), jnp.ones((C,), bool), jnp.asarray(K, jnp.float32),
-      npx=256, rng=jax.random.PRNGKey(0), num_hypotheses=128,
-      inlier_thresh=4.0, max_instances=1, num_instances=1, min_quality=0.3,
-      depth_debias=1.0)
+      jax.random.PRNGKey(0))
   assert bool(res.valid[0])
   _, dt = pose_errors(res.R[0], res.t[0], R, t)
   assert dt < 1.0, dt
