@@ -234,13 +234,15 @@ class Config:
   max_corrs_per_obj: int = 2048       # Padded correspondences per object.
   # Route the two correspondence-selection top-Ks through
   # lax.approx_max_k (TPU PartialReduce, recall 0.95) instead of the full
-  # lax.top_k sort. The selection sorts are the single largest cost of
-  # the flagship inference pipeline (extract 12.8 ms of 36 ms/img,
-  # PROFILE_r05.json); the ~5% recall tail hits only the LOWEST-
-  # confidence kept correspondences, which the confidence-weighted RANSAC
-  # discounts anyway. Off by default pending the measured flip
-  # (README "Where the MFU goes"); exactness tests pin approx_topk=False.
-  corresp_approx_topk: bool = False
+  # lax.top_k sort. Measured on-chip A/B (quiet chip, flagship config):
+  # extract 12.86 -> 10.90 ms/img (PROFILE_r05.json), and the 90k tracked
+  # holdout poses are BIT-IDENTICAL to the exact path (AR 0.3647 both
+  # ways) — the survivor pool is small vs capacity, so the 5% recall tail
+  # never reaches kept correspondences; where it would, it hits only the
+  # lowest-confidence tail that the confidence-weighted RANSAC discounts
+  # (unit test pins >=90% kept confidence mass). CPU falls back to the
+  # exact sort, so this is a TPU-only behavior change.
+  corresp_approx_topk: bool = True
   compute_dtype: str = 'bfloat16'     # MXU-friendly compute precision.
   num_pipeline_workers: int = 1       # Host data workers (1-core host).
   mesh_shape: Optional[List[int]] = None  # Device mesh (None = all-data-parallel).

