@@ -73,6 +73,19 @@ def _flops(compiled):
   return float(ca.get('flops', 0.0))
 
 
+def _sync(tree):
+  """Barrier that provably waits: D2H-fetch one leaf of the result.
+
+  Through the experimental axon tunnel jax.block_until_ready can return
+  BEFORE the computation finishes (observed in the round-5 train section:
+  batch-8 \"9.4 ms/step\" = an impossible 800% MFU). A device_get forces
+  the value to exist on the host; chained/pipelined work upstream of the
+  fetched leaf is bounded by it."""
+  leaf = jax.tree_util.tree_leaves(tree)[0]
+  np.asarray(jax.device_get(leaf)).ravel()[:1]
+  return tree
+
+
 def bench_inference(cfg, num_objs, variables, model, images, frag_centers,
                     frag_sizes, K, task='localization', max_instances=1,
                     use_pallas=False):
@@ -131,7 +144,7 @@ def bench_inference(cfg, num_objs, variables, model, images, frag_centers,
 
   # Warmup / compile.
   rng = jax.random.PRNGKey(0)
-  jax.block_until_ready(full(images[0], rng))
+  _sync(full(images[0], rng))
   keys = [jax.random.fold_in(rng, i) for i in range(n_iter)]
   jax.block_until_ready(keys)
 
@@ -139,7 +152,7 @@ def bench_inference(cfg, num_objs, variables, model, images, frag_centers,
   last = None
   for i in range(n_iter):
     last = full(images[i], keys[i])
-  jax.block_until_ready(last)
+  _sync(last)
   dt = (time.time() - t0) / n_iter
   img_s = 1.0 / dt
 
@@ -188,12 +201,12 @@ def bench_batched_inference(cfg, num_objs, variables, model, frag_centers,
 
   run = jax.jit(full)
   rng = jax.random.PRNGKey(0)
-  jax.block_until_ready(run(variables, batches[0], rng))
+  _sync(run(variables, batches[0], rng))
   t0 = time.time()
   out = None
   for i in range(n_iter):
     out = run(variables, batches[i], jax.random.fold_in(rng, i))
-  jax.block_until_ready(out)
+  _sync(out)
   return batch * n_iter / (time.time() - t0)
 
 
@@ -226,14 +239,19 @@ def bench_train_step(cfg, num_objs, n_steps=12):
   batches = [make_batch(i) for i in range(n_steps)]
   # Warmup/compile on an extra batch (state is donated by the jit).
   flops = _flops(step.lower(state, batches[0], rng).compile())
-  state, _ = step(state, make_batch(999), rng)
-  jax.block_until_ready(state.params)
+  state, warm_metrics = step(state, make_batch(999), rng)
+  # Sync via a scalar D2H, NOT block_until_ready: through the axon tunnel
+  # block_until_ready returns before the computation finishes (round-5
+  # measurement: batch-8 "9.4 ms/step" = an impossible 800% MFU; the
+  # device_get-synced infer sections never showed this). The steps chain
+  # through the donated state, so fetching the LAST loss bounds them all.
+  float(jax.device_get(warm_metrics['total_loss']))
 
   t0 = time.time()
   metrics = None
   for i in range(n_steps):
     state, metrics = step(state, batches[i], jax.random.fold_in(rng, i))
-  jax.block_until_ready(metrics['total_loss'])
+  float(jax.device_get(metrics['total_loss']))
   step_ms = (time.time() - t0) / n_steps * 1000.0
   return step_ms, flops
 
