@@ -346,14 +346,20 @@ def bench_tracked_run(peak):
     return {}
 
 
-def _backend_available(timeout_s=360):
+def _backend_available(timeout_s=360, attempts=3):
   """Probes the default JAX backend in a SUBPROCESS with a timeout.
 
   The axon TPU tunnel can go down for hours; in that state jax.devices()
   hangs indefinitely and a driver-run bench would time out with no JSON
-  (round-3 BENCH artifact was zeroed exactly this way). The timeout covers
-  the stale-claim expiry (~3-4 min) after an ungraceful kill. CPU/forced
-  platforms pass trivially.
+  (round-3 BENCH artifact was zeroed exactly this way). Two hazards shape
+  the protocol (CLAUDE.md #1): (a) a single D2H read can stall for minutes
+  while the tunnel is otherwise healthy, so one failed probe is retried
+  after a wait instead of zeroing the whole bench (the round-5 first bench
+  attempt was lost to exactly one such stall); (b) SIGKILLing a process
+  mid-TPU-operation wedges the tunnel for EVERY process until the
+  server-side claim expires (~3-4 min), so timeouts terminate gracefully
+  first and the retry wait doubles as claim-expiry time. CPU/forced
+  platforms pass trivially on the first attempt.
   """
   import subprocess
   import sys
@@ -363,12 +369,26 @@ def _backend_available(timeout_s=360):
       " '/root/repo/.jax_cache')\n"
       "import jax.numpy as jnp\n"
       "print(jax.jit(lambda a: a * 2)(jnp.ones(4))[0])\n")
-  try:
-    proc = subprocess.run([sys.executable, '-c', code],
-                          capture_output=True, timeout=timeout_s)
-    return proc.returncode == 0
-  except subprocess.TimeoutExpired:
-    return False
+  for attempt in range(attempts):
+    if attempt:
+      print(f'# backend probe attempt {attempt} failed; waiting 240s for '
+            'a possible stale-claim expiry before retrying', flush=True)
+      time.sleep(240)
+    proc = subprocess.Popen([sys.executable, '-c', code],
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT)
+    try:
+      proc.communicate(timeout=timeout_s)
+      if proc.returncode == 0:
+        return True
+    except subprocess.TimeoutExpired:
+      proc.terminate()  # graceful first: SIGKILL mid-op wedges the tunnel
+      try:
+        proc.communicate(timeout=60)
+      except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.communicate()
+  return False
 
 
 def _flagship_setup(r, n_iter=24):
